@@ -1,0 +1,40 @@
+"""pyfft_tpu — a TPU-native spectral-analysis framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capability set of the
+reference ``PYFFT`` package (Welch auto-/cross-spectral estimation, window
+suite with recommended-overlap metadata, STFT/spectrograms, FIR/IIR filtering
+and resampling, Hilbert and Laplace transforms, correlation tools,
+Doppler/center-of-gravity analysis, PCA, heat-pulse transport analysis), with
+
+* a batched, jit-compiled compute core (no per-segment Python loops),
+* Pallas TPU kernels for the hot framed-FFT and FIR paths (``pyfft_tpu.ops``),
+* multi-chip scaling via ``jax.sharding`` + ``shard_map`` with ppermute halo
+  exchange and psum averaging (``pyfft_tpu.parallel``).
+"""
+
+__version__ = "0.1.0"
+
+from . import utils
+from . import windows as windows_mod
+from .windows import windows, get_window
+from . import segmentation
+from .spectral import fft_pwelch, fftinfosc, Cxy_Cxy2, welch_cross_spectra
+from .utils.detrend import (
+    detrend_none,
+    detrend_mean,
+    detrend_linear,
+)
+
+__all__ = [
+    "windows",
+    "get_window",
+    "fft_pwelch",
+    "fftinfosc",
+    "Cxy_Cxy2",
+    "welch_cross_spectra",
+    "detrend_none",
+    "detrend_mean",
+    "detrend_linear",
+    "segmentation",
+    "utils",
+]

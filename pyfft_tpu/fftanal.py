@@ -1,0 +1,543 @@
+"""Object-style spectral analysis API (parity with the reference ``fftanal``).
+
+The reference exposes two entry styles: the function ``fft_pwelch`` and the
+stateful class ``fftanal`` (reference ``fft_analysis.py:1695-2887``).  The
+class path scales *FFT coefficients* by ``sqrt(2)/S1/sqrt(ENBW)`` before
+squaring (reference ``fft_win``, ``:2179-2202``) — equivalent PSDs but a
+different intermediate convention; both are preserved here.
+
+TPU-first: this class is a thin stateful wrapper; all segment math runs in a
+single jitted, batched pipeline (:func:`stft_segments`).  The per-segment
+Python loop of the reference (``:2156-2176``) does not exist.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .utils.structure import Struct
+from .utils.detrend import detrend_func
+from .windows import windows
+from . import segmentation as seg
+from .spectral import (fft_pwelch, Cxy_Cxy2, _onesided_amp_scale,
+                       _onesided_power_scale)
+
+
+__all__ = ["fftanal", "stft_segments"]
+
+
+@partial(jax.jit, static_argnames=("navr", "nwins", "noverlap", "nfft",
+                                   "nnyquist", "onesided", "detrend_style",
+                                   "detrendwin"))
+def _stft_core(x, tvec, win, s1, s2, sqrt_enbw, *, navr, nwins, noverlap,
+               nfft, nnyquist, onesided, detrend_style, detrendwin):
+    """Batched STFT with the reference ``fft_win`` coefficient scaling.
+
+    ``x``: ``(..., nt)``; returns ``tt (navr,)``, ``Xfft (..., navr, nfreq)``,
+    ``pseg (..., navr)`` where ``pseg`` is the trapezoid-integrated windowed
+    segment power ``/S2`` (reference ``fft_analysis.py:2174, :2198``).
+    """
+    det = detrend_func(detrend_style)
+    if not detrendwin:
+        x = det(x, axis=-1)
+    hop = nwins - noverlap
+    xfr = seg.frame_signal(x, nwins, hop, navr)        # (..., navr, nwins)
+    tfr = seg.frame_signal(tvec, nwins, hop, navr)     # (navr, nwins)
+    if detrendwin:
+        xfr = det(xfr, axis=-1)
+    w = win.astype(xfr.real.dtype)
+    xw = xfr * w
+    tt = jnp.mean(tfr, axis=-1)
+    pseg = jnp.trapezoid((xw * jnp.conj(xw)).real, x=tfr, axis=-1) / s2
+    X = jnp.fft.fft(xw, n=nfft, axis=-1)
+    if onesided:
+        amp = jnp.asarray(_onesided_amp_scale(nfft, nnyquist), dtype=X.real.dtype)
+        X = X[..., :nnyquist] * amp
+    else:
+        X = jnp.fft.fftshift(X, axes=-1)
+    X = X / (s1 * sqrt_enbw)
+    return tt, X, pseg
+
+
+def stft_segments(x, tvec, win, plan: seg.SegmentPlan, fs, *, onesided=True,
+                  detrend_style=1, detrendwin=False):
+    """Functional STFT entry: returns ``(tt, freq, Xfft, pseg)``.
+
+    Matches the reference ``fftanal.fft_win`` contract
+    (``fft_analysis.py:2126-2203``) with batched execution.
+    """
+    win = jnp.asarray(win)
+    s1 = seg.get_s1(np.asarray(win))
+    s2 = seg.get_s2(np.asarray(win))
+    enbw = seg.get_enbw(fs, s1, s2)
+    tt, X, pseg = _stft_core(
+        jnp.asarray(x), jnp.asarray(tvec), win,
+        jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(np.sqrt(enbw)),
+        navr=plan.navr, nwins=plan.nwins, noverlap=plan.noverlap,
+        nfft=plan.nfft, nnyquist=plan.nnyquist, onesided=bool(onesided),
+        detrend_style=int(detrend_style), detrendwin=bool(detrendwin))
+    freq = np.fft.fftfreq(plan.nfft, 1.0 / fs)
+    freq = freq[:plan.nnyquist] if onesided else np.fft.fftshift(freq)
+    return tt, jnp.asarray(freq), X, pseg
+
+
+class fftanal(Struct):
+    """Stateful spectral-analysis pipeline (reference-class API).
+
+    Usage matches the reference: construct with ``(tvec, sigx[, sigy],
+    **kwargs)``, then call :meth:`pwelch` / :meth:`stft` /
+    :meth:`fftpwelch` / :meth:`crosscorr` / :meth:`convert2amplitudes`.
+    """
+
+    afont = {"fontsize": 14}
+
+    def __init__(self, tvec=None, sigx=None, sigy=None, **kwargs):
+        self.verbose = kwargs.get("verbose", True)
+        if tvec is None or sigx is None:
+            if self.verbose:
+                print("Please give at least a time-vector [s]"
+                      " and a signal vector [a.u.]")
+            return
+        self.init(tvec, sigx, sigy, **kwargs)
+
+    # ------------------------------------------------------------------ #
+    # configuration (reference fft_analysis.py:1713-1783)
+    # ------------------------------------------------------------------ #
+
+    def init(self, tvec=None, sigx=None, sigy=None, **kwargs):
+        self.nosigy = sigy is None or sigy is sigx
+
+        tvec = np.asarray(tvec)
+        sigx = np.asarray(sigx)
+        self.tvec = tvec
+        self.sigx = sigx
+        self.sigy = None if sigy is None else np.asarray(sigy)
+
+        self.tbounds = kwargs.get("tbounds", [tvec.min(), tvec.max()])
+        self.useMLAB = kwargs.get("useMLAB", False)
+        self.plotit = kwargs.get("plotit", False)
+        self.verbose = kwargs.get("verbose", True)
+        self.Navr = kwargs.get("Navr", None)
+        self.window = kwargs.get("windowfunction", "Hanning")
+        if self.window is None:
+            self.window = "Hanning"
+        self.overlap = kwargs.get("windowoverlap",
+                                  windows(self.window, verbose=False))
+        self.tvecy = kwargs.get("tvecy", None)
+        self.onesided = kwargs.get("onesided", None)
+        self.detrendstyle = kwargs.get("detrend", 1)
+        self.frange = kwargs.get("frange", None)
+        self.axes = kwargs.get("axes", -1)
+
+        if self.onesided is None:
+            self.onesided = not (np.iscomplexobj(sigx)
+                                 or (self.sigy is not None
+                                     and np.iscomplexobj(self.sigy)))
+
+        if self.tvecy is not None:
+            self.tvec, self.sigx, self.sigy = self.resample(
+                tvec, sigx, self.tvecy, self.sigy)
+
+        self.Fs = self.__Fs__(self.tvec)
+        self.ibounds = self.__ibounds__(self.tvec, self.tbounds)
+        self.nsig = np.size(self.__trimsig__(self.tvec, self.ibounds))
+
+        calcNavr = False
+        if self.Navr is None:
+            calcNavr = True
+            self.Navr = 8
+
+        if "minFreq" in kwargs:
+            kwargs["tper"] = 2.0 / kwargs["minFreq"]
+        if "tper" in kwargs:
+            self.tper = kwargs["tper"]
+            self.nwins = int(self.Fs * self.tper)
+        else:
+            calcNavr = False
+            self.nwins = self.getNwins()
+        self.noverlap = self.getNoverlap()
+        if calcNavr:
+            self.Navr = self.getNavr()
+        # clamp so all segments index inside the trimmed span
+        self.Navr = min(self.Navr,
+                        seg.get_navr(self.nsig, self.nwins, self.noverlap))
+        self.nfft = self.nwins
+        self.win, self.winparams = self.makewindowfn(self.window, self.nwins,
+                                                     self.verbose)
+        self.getNnyquist()
+        self.getNorms()
+
+    def update(self, d=None):
+        if d is not None:
+            if not isinstance(d, dict):
+                d = d.dict_from_class()
+            self.__dict__.update(d)
+
+    # ------------------------------------------------------------------ #
+    # pipelines
+    # ------------------------------------------------------------------ #
+
+    def fftpwelch(self):
+        """Run the function-style pipeline and merge its outputs."""
+        self.freq, self.Pxy, self.Pxx, self.Pyy, self.Cxy, self.phi_xy, \
+            self.fftinfo = fft_pwelch(
+                self.tvec, self.sigx, self.sigy, self.tbounds,
+                Navr=self.Navr, windowoverlap=self.overlap,
+                windowfunction=self.window, useMLAB=self.useMLAB,
+                plotit=self.plotit, verbose=self.verbose,
+                detrend_style=self.detrendstyle, onesided=self.onesided)
+        self.update(self.fftinfo)
+
+    def stft(self):
+        """Short-time Fourier analysis (one call, batched)."""
+        self.pwelch()
+
+    def pwelch(self):
+        self.Xstft()
+        if not self.nosigy:
+            self.Ystft()
+        self.Pstft()
+        self.averagewins()
+
+    # ---------------- segment transforms ------------------------------ #
+
+    def _plan(self):
+        return seg.SegmentPlan(nsig=self.nsig, nwins=self.nwins,
+                               noverlap=self.noverlap, navr=self.Navr,
+                               nfft=self.nfft, nnyquist=self.Nnyquist)
+
+    def fft_win(self, sig, tvec=None, detrendwin=False):
+        """Windowed segment FFTs with coefficient scaling (reference :2126)."""
+        if tvec is None:
+            tvec = np.linspace(0.0, 1.0, len(sig))
+        fs = self.__Fs__(tvec)
+        tt, freq, X, pseg = stft_segments(
+            sig, tvec, self.win, self._plan(), fs, onesided=self.onesided,
+            detrend_style=self.detrendstyle, detrendwin=detrendwin)
+        self.tper = float(tvec[min(self.nwins, len(tvec) - 1)] - tvec[0])
+        return tt, freq, X, pseg
+
+    def Xstft(self):
+        sig = self.__trimsig__(self.sigx, self.ibounds)
+        tvec = self.__trimsig__(self.tvec, self.ibounds)
+        self.tseg, self.freq, self.Xseg, self.Xpow = self.fft_win(sig, tvec)
+        self.Xfft = jnp.mean(self.Xseg, axis=0)
+        return self.freq, self.Xseg
+
+    def Ystft(self):
+        sig = self.__trimsig__(self.sigy, self.ibounds)
+        tvec = self.__trimsig__(self.tvec, self.ibounds)
+        self.tseg, self.freq, self.Yseg, self.Ypow = self.fft_win(sig, tvec)
+        self.Yfft = jnp.mean(self.Yseg, axis=0)
+        return self.freq, self.Yseg
+
+    def Pstft(self):
+        """Per-segment spectra from the scaled segment FFTs (reference :1944).
+
+        Note the class-path cross-spectrum convention is
+        ``Pxy = X conj(Y)`` (reference ``:1960``) — opposite phase sign to the
+        function path's ``Y conj(X)`` (reference ``:393``); both preserved.
+        """
+        if hasattr(self, "Xseg"):
+            self.Pxx_seg = self.Xseg * jnp.conj(self.Xseg)
+            self.Lxx_seg = jnp.sqrt(jnp.abs(self.ENBW * self.Pxx_seg))
+            if self.onesided:
+                self.Lxx_seg = np.sqrt(2) * self.Lxx_seg
+        if hasattr(self, "Yseg"):
+            self.Pyy_seg = self.Yseg * jnp.conj(self.Yseg)
+            self.Lyy_seg = jnp.sqrt(jnp.abs(self.ENBW * self.Pyy_seg))
+            if self.onesided:
+                self.Lyy_seg = np.sqrt(2) * self.Lyy_seg
+        if hasattr(self, "Xseg") and hasattr(self, "Yseg"):
+            self.Pxy_seg = self.Xseg * jnp.conj(self.Yseg)
+            self.Lxy_seg = jnp.sqrt(jnp.abs(self.ENBW * self.Pxy_seg))
+            if self.onesided:
+                self.Lxy_seg = np.sqrt(2) * self.Lxy_seg
+            self.phixy_seg = jnp.angle(self.Pxy_seg)
+            self.Cxy_seg, self.Cxy2_seg = Cxy_Cxy2(self.Pxx_seg,
+                                                   self.Pyy_seg, self.Pxy_seg)
+
+    def averagewins(self):
+        """Average per-segment spectra; propagate variances (reference :1975)."""
+        for param in ["Pxx", "Pyy", "Pxy"]:
+            if hasattr(self, param + "_seg"):
+                mean = jnp.mean(getattr(self, param + "_seg"), axis=0)
+                setattr(self, param, mean)
+                setattr(self, "var" + param, (mean / np.sqrt(self.Navr)) ** 2.0)
+        if hasattr(self, "Pxy"):
+            self.phi_xy = jnp.angle(self.Pxy)
+            self.Cxy, self.Cxy2 = Cxy_Cxy2(self.Pxx, self.Pyy, self.Pxy)
+            self.varPhxy = (jnp.sqrt(1.0 - self.Cxy2)
+                            / jnp.sqrt(2.0 * self.Navr * self.Cxy)) ** 2.0
+            self.varCxy = ((1 - self.Cxy2) / np.sqrt(2 * self.Navr)) ** 2.0
+            self.varCxy2 = 4.0 * self.Cxy2 * self.varCxy
+
+    # ---------------- lag-domain (reference :1840-1920) ---------------- #
+
+    def crosscorr(self):
+        nfft = self.nwins
+        for param in ["Pxx", "Pyy", "Pxy"]:
+            if hasattr(self, param):
+                tmp = getattr(self, param)
+                tmp = self._spectrum_to_lags(tmp, nfft)
+                if param == "Pxx":
+                    self.Ex = tmp[..., 0]
+                if param == "Pyy":
+                    self.Ey = tmp[..., 0]
+                setattr(self, "R" + param[1:], jnp.fft.fftshift(tmp, axes=-1))
+        if hasattr(self, "Rxy"):
+            self.corrcoef = self.Rxy / jnp.sqrt(self.Ex * self.Ey)
+        self.lags = (np.arange(1, nfft + 1) - self.Nnyquist) / self.Fs
+
+    def crosscorr_stft(self):
+        nfft = self.nwins
+        for param in ["Pxx_seg", "Pyy_seg", "Pxy_seg"]:
+            if hasattr(self, param):
+                tmp = self._spectrum_to_lags(getattr(self, param), nfft)
+                if param.startswith("Pxx"):
+                    self.Ex_seg = tmp[..., 0]
+                if param.startswith("Pyy"):
+                    self.Ey_seg = tmp[..., 0]
+                setattr(self, "R" + param[1:],
+                        jnp.fft.fftshift(tmp, axes=-1))
+        if hasattr(self, "Rxy_seg"):
+            self.corrcoef_seg = self.Rxy_seg / jnp.sqrt(
+                self.Ex_seg * self.Ey_seg)[..., None]
+        self.lags = (np.arange(1, nfft + 1) - self.Nnyquist) / self.Fs
+
+    def _spectrum_to_lags(self, P, nfft):
+        """One/two-sided spectrum -> sqrt(nfft)-scaled lag correlations
+        (reference :1846-1860)."""
+        P = jnp.asarray(P)
+        if self.onesided:
+            inv = jnp.asarray(1.0 / _onesided_power_scale(nfft, self.Nnyquist),
+                              dtype=P.real.dtype)
+            return np.sqrt(nfft) * jnp.fft.irfft(P * inv, n=nfft, axis=-1)
+        tmp = jnp.fft.ifftshift(P, axes=-1)
+        return np.sqrt(nfft) * jnp.fft.ifft(tmp, n=nfft, axis=-1)
+
+    # ---------------- conversions (reference :2022-2086) --------------- #
+
+    def convert2amplitudes(self):
+        """PSD -> linear amplitude spectra (reference :2022-2048)."""
+        amp = _onesided_amp_scale(self.nfft, self.Nnyquist)
+        for param in ["Pxx", "Pyy", "Pxy"]:
+            if hasattr(self, param):
+                tmp = jnp.sqrt(jnp.abs(self.ENBW * getattr(self, param)))
+                if self.onesided:
+                    tmp = tmp * jnp.asarray(amp, dtype=tmp.dtype)
+                setattr(self, "L" + param[1:], tmp)
+                setattr(self, "varL" + param[1:],
+                        (tmp ** 2) * (getattr(self, "var" + param)
+                                      / jnp.abs(getattr(self, param)) ** 2))
+
+    def integrate_spectra(self):
+        from .integrate import integratespectra
+        self.integrated = Struct()
+        (self.integrated.Pxy, self.integrated.Pxx, self.integrated.Pyy,
+         self.integrated.Cxy, self.integrated.ph, self.integrated.info) = \
+            integratespectra(self.freq, self.Pxy, self.Pxx, self.Pyy,
+                             self.frange, self.varPxy, self.varPxx,
+                             self.varPyy)
+
+    # ---------------- small helpers (reference :2092-2124) ------------- #
+
+    def detrend(self, sig):
+        return detrend_func(self.detrendstyle)(jnp.asarray(sig), axis=-1)
+
+    def fft(self, sig, nfft=None, axes=None):
+        if axes is None:
+            axes = self.axes
+        if nfft is None:
+            nfft = self.nfft
+        return jnp.fft.fft(jnp.asarray(sig), n=nfft, axis=axes)
+
+    def ifft(self, sig, nfft=None, axes=None):
+        if axes is None:
+            axes = self.axes
+        if nfft is None:
+            nfft = self.nfft
+        return jnp.fft.ifft(jnp.asarray(sig), n=nfft, axis=axes)
+
+    def fftshift(self, sig, axes=None):
+        if axes is None:
+            axes = self.axes
+        return jnp.fft.fftshift(jnp.asarray(sig), axes=axes)
+
+    def ifftshift(self, sig, axes=None):
+        if axes is None:
+            axes = self.axes
+        return jnp.fft.ifftshift(jnp.asarray(sig), axes=axes)
+
+    # ---------------- statics (reference :2363-2510) ------------------- #
+
+    @staticmethod
+    def resample(tvx, sigx, tvy, sigy):
+        from .filters import upsample
+        Fsx = fftanal.__Fs__(tvx)
+        Fsy = fftanal.__Fs__(tvy)
+        if len(sigx) > len(sigy):
+            sigy = upsample(sigy, Fsy, Fsx)
+            tvec = tvx
+        elif len(sigy) > len(sigx):
+            sigx = upsample(sigx, Fsx, Fsy)
+            tvec = tvy
+        else:
+            tvec = tvx
+        return tvec, sigx, sigy
+
+    @staticmethod
+    def __Fs__(tvec):
+        return (len(tvec) - 1) / (tvec[-1] - tvec[0])
+
+    @staticmethod
+    def __ibounds__(tvec, tbounds):
+        fs = fftanal.__Fs__(tvec)
+        ib1 = int(np.floor((tbounds[0] - tvec[0]) * fs))
+        ib2 = int(np.floor(1 + (tbounds[1] - tvec[0]) * fs))
+        return [ib1, ib2]
+
+    @staticmethod
+    def __trimsig__(sigt, ibounds):
+        return sigt[ibounds[0]:ibounds[1]]
+
+    @staticmethod
+    def makewindowfn(windowfunction, nwins, verbose=True):
+        return windows(windowfunction, nwins=nwins, verbose=verbose,
+                       msgout=True)
+
+    _getNwins = staticmethod(seg.get_nwins)
+    _getNoverlap = staticmethod(seg.get_noverlap)
+    _getNavr = staticmethod(seg.get_navr)
+    _getMINoverlap = staticmethod(seg.get_min_overlap)
+    _getMAXoverlap = staticmethod(seg.get_max_overlap)
+    _checkCOLA = staticmethod(seg.check_cola)
+    _getNnyquist = staticmethod(seg.get_nnyquist)
+    _getS1 = staticmethod(seg.get_s1)
+    _getS2 = staticmethod(seg.get_s2)
+    _getNENBW = staticmethod(seg.get_nenbw)
+    _getENBW = staticmethod(seg.get_enbw)
+    _getNorms = staticmethod(seg.get_norms)
+    _detrend_func = staticmethod(detrend_func)
+
+    def getNavr(self):
+        self.Navr = seg.get_navr(self.nsig, self.nwins, self.noverlap)
+        return self.Navr
+
+    def getNwins(self):
+        self.nwins = seg.get_nwins(self.nsig, self.Navr, self.overlap)
+        return self.nwins
+
+    def getNoverlap(self):
+        self.noverlap = seg.get_noverlap(self.nwins, self.overlap)
+        return self.noverlap
+
+    def getNnyquist(self):
+        self.Nnyquist = seg.get_nnyquist(self.nwins)
+        return self.Nnyquist
+
+    def getNorms(self):
+        self.S1, self.S2, self.NENBW, self.ENBW = seg.get_norms(
+            self.win, self.Nnyquist, self.Fs)
+
+    @staticmethod
+    def intspectra(freq, sigft, ifreq=None, ispan=None, ENBW=None):
+        """Integrate a spectrum around its peak (reference :2514-2536)."""
+        freq = np.asarray(freq)
+        sigft = np.asarray(sigft)
+        if ifreq is None:
+            ifreq = int(np.argmax(np.abs(sigft), axis=0))
+            if ENBW is not None:
+                ispan = 2 * int(np.where(freq >= ENBW)[0][0])
+            elif ispan is None:
+                ispan = 6
+            ilow = ifreq - ispan // 2
+            ihigh = ifreq + ispan // 2
+        else:
+            ilow = 0
+            ihigh = len(sigft)
+        Isig = np.trapezoid(sigft[ilow:ihigh], freq[ilow:ihigh], axis=0)
+        Ivar = np.zeros_like(Isig)
+        return Isig, Ivar
+
+    # ---------------- plotting adapters -------------------------------- #
+
+    def plotall(self):  # pragma: no cover
+        import matplotlib.pyplot as plt
+        self.fig = plt.figure(figsize=(15, 15))
+        self.ax1 = plt.subplot(2, 3, 1)
+        self.ax2 = plt.subplot(2, 3, 2)
+        self.ax3 = plt.subplot(2, 3, 3)
+        self.ax4 = plt.subplot(2, 3, 4, sharex=self.ax2)
+        self.ax5 = plt.subplot(2, 3, 5, sharex=self.ax3)
+        self.ax6 = plt.subplot(2, 3, 6, sharex=self.ax3)
+        self.plottime(_ax=self.ax1)
+        self.plotCorr(_ax=self.ax2)
+        self.plotPxy(_ax=self.ax3)
+        self.plotspec(param="Pxy", logscale=True, _ax=self.ax4)
+        self.plotCxy(_ax=self.ax5)
+        self.plotphxy(_ax=self.ax6)
+        plt.tight_layout()
+        plt.draw()
+
+    def plotspec(self, param="Pxy", logscale=False, _ax=None, vbnds=None,
+                 cmap=None):  # pragma: no cover
+        from . import plotting
+        fbounds = [max(2.0 * self.Fs / self.nwins, float(np.min(np.asarray(self.freq)))),
+                   min(self.Fs / 2.0, float(np.max(np.asarray(self.freq))))]
+        return plotting.plot_spectrogram(
+            np.asarray(self.tseg), np.asarray(self.freq),
+            np.asarray(getattr(self, param + "_seg")), logscale=logscale,
+            ax=_ax, vbnds=vbnds, cmap=cmap, titl=param,
+            tbounds=self.tbounds, fbounds=fbounds)
+
+    def plottime(self, _ax=None):  # pragma: no cover
+        import matplotlib.pyplot as plt
+        if _ax is None:
+            plt.figure()
+            _ax = plt.gca()
+        _ax.plot(self.tvec, np.asarray(self.sigx).real, "b-")
+        if self.sigy is not None:
+            _ax.plot(self.tvec, np.asarray(self.sigy).real, "r-")
+        _ax.set_title("Input Signals", **self.afont)
+        return _ax
+
+    def plotCorr(self, _ax=None):  # pragma: no cover
+        import matplotlib.pyplot as plt
+        if _ax is None:
+            plt.figure()
+            _ax = plt.gca()
+        _ax.plot(1e6 * np.asarray(self.lags), np.asarray(self.corrcoef).real, "k-")
+        _ax.set_ylabel(r"$\rho_{xy}$", **self.afont)
+        return _ax
+
+    def plotPxy(self, _ax=None):  # pragma: no cover
+        import matplotlib.pyplot as plt
+        if _ax is None:
+            plt.figure()
+            _ax = plt.gca()
+        f = 1e-3 * np.asarray(self.freq)
+        _ax.plot(f, 10 * np.log10(np.abs(np.asarray(self.Pxx))), "b-")
+        _ax.plot(f, 10 * np.log10(np.abs(np.asarray(self.Pyy))), "r-")
+        _ax.plot(f, 10 * np.log10(np.abs(np.asarray(self.Pxy))), "k-")
+        return _ax
+
+    def plotCxy(self, _ax=None):  # pragma: no cover
+        import matplotlib.pyplot as plt
+        if _ax is None:
+            plt.figure()
+            _ax = plt.gca()
+        _ax.plot(1e-3 * np.asarray(self.freq), np.abs(np.asarray(self.Cxy2)), "k-")
+        _ax.axhline(y=1.0 / self.Navr, color="k")
+        return _ax
+
+    def plotphxy(self, _ax=None):  # pragma: no cover
+        import matplotlib.pyplot as plt
+        if _ax is None:
+            plt.figure()
+            _ax = plt.gca()
+        _ax.plot(1e-3 * np.asarray(self.freq), np.asarray(self.phi_xy), "k-")
+        return _ax
