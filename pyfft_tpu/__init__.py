@@ -18,7 +18,16 @@ from . import utils
 from . import windows as windows_mod
 from .windows import windows, get_window
 from . import segmentation
-from .spectral import fft_pwelch, fftinfosc, Cxy_Cxy2, welch_cross_spectra
+from .spectral import (
+    fft_pwelch,
+    fftinfosc,
+    Cxy_Cxy2,
+    welch_cross_spectra,
+    resolve_fft_backend,
+    backend_supports_complex,
+)
+from .fftanal import fftanal, stft_segments
+from . import ops
 from .utils.detrend import (
     detrend_none,
     detrend_mean,
@@ -28,6 +37,9 @@ from .utils.detrend import (
 __all__ = [
     "windows",
     "get_window",
+    "fftanal",
+    "stft_segments",
+    "ops",
     "fft_pwelch",
     "fftinfosc",
     "Cxy_Cxy2",

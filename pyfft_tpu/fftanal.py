@@ -7,8 +7,10 @@ squaring (reference ``fft_win``, ``:2179-2202``) — equivalent PSDs but a
 different intermediate convention; both are preserved here.
 
 TPU-first: this class is a thin stateful wrapper; all segment math runs in a
-single jitted, batched pipeline (:func:`stft_segments`).  The per-segment
-Python loop of the reference (``:2156-2176``) does not exist.
+single jitted, batched pipeline with two transform paths ('xla' complex fft
+on CPU/GPU, 'mxu' real-pair matmul DFTs on TPU).  The per-segment Python
+loop of the reference (``:2156-2176``) does not exist.  The O(nfreq)
+post-processing (coherence, averaging, lag transforms) runs in host NumPy.
 """
 from __future__ import annotations
 
@@ -22,8 +24,9 @@ from .utils.structure import Struct
 from .utils.detrend import detrend_func
 from .windows import windows
 from . import segmentation as seg
+from .ops import mxu_fft
 from .spectral import (fft_pwelch, Cxy_Cxy2, _onesided_amp_scale,
-                       _onesided_power_scale)
+                       _onesided_power_scale, resolve_fft_backend)
 
 
 __all__ = ["fftanal", "stft_segments"]
@@ -32,14 +35,9 @@ __all__ = ["fftanal", "stft_segments"]
 @partial(jax.jit, static_argnames=("navr", "nwins", "noverlap", "nfft",
                                    "nnyquist", "onesided", "detrend_style",
                                    "detrendwin"))
-def _stft_core(x, tvec, win, s1, s2, sqrt_enbw, *, navr, nwins, noverlap,
-               nfft, nnyquist, onesided, detrend_style, detrendwin):
-    """Batched STFT with the reference ``fft_win`` coefficient scaling.
-
-    ``x``: ``(..., nt)``; returns ``tt (navr,)``, ``Xfft (..., navr, nfreq)``,
-    ``pseg (..., navr)`` where ``pseg`` is the trapezoid-integrated windowed
-    segment power ``/S2`` (reference ``fft_analysis.py:2174, :2198``).
-    """
+def _stft_core_xla(x, tvec, win, s1, s2, sqrt_enbw, *, navr, nwins, noverlap,
+                   nfft, nnyquist, onesided, detrend_style, detrendwin):
+    """Complex-dtype batched STFT with ``fft_win`` coefficient scaling."""
     det = detrend_func(detrend_style)
     if not detrendwin:
         x = det(x, axis=-1)
@@ -62,26 +60,80 @@ def _stft_core(x, tvec, win, s1, s2, sqrt_enbw, *, navr, nwins, noverlap,
     return tt, X, pseg
 
 
+@partial(jax.jit, static_argnames=("navr", "nwins", "noverlap", "nfft",
+                                   "nnyquist", "onesided", "detrend_style",
+                                   "detrendwin"))
+def _stft_core_mxu(xr, xi, tvec, win, s1, s2, sqrt_enbw, *, navr, nwins,
+                   noverlap, nfft, nnyquist, onesided, detrend_style,
+                   detrendwin):
+    """Real-pair batched STFT (TPU path; no complex dtype anywhere)."""
+    det = detrend_func(detrend_style)
+    if not detrendwin:
+        xr = det(xr, axis=-1)
+        xi = None if xi is None else det(xi, axis=-1)
+    hop = nwins - noverlap
+    fr = seg.frame_signal(xr, nwins, hop, navr)
+    fi = None if xi is None else seg.frame_signal(xi, nwins, hop, navr)
+    tfr = seg.frame_signal(tvec, nwins, hop, navr)
+    if detrendwin:
+        fr = det(fr, axis=-1)
+        fi = None if fi is None else det(fi, axis=-1)
+    w = win.astype(fr.dtype)
+    fr = fr * w
+    fi = None if fi is None else fi * w
+    tt = jnp.mean(tfr, axis=-1)
+    mag2 = fr * fr if fi is None else fr * fr + fi * fi
+    pseg = jnp.trapezoid(mag2, x=tfr, axis=-1) / s2
+    Xr, Xi = mxu_fft.fft_pair(fr, fi, n=nfft, axis=-1)
+    if onesided:
+        amp = jnp.asarray(_onesided_amp_scale(nfft, nnyquist), dtype=Xr.dtype)
+        Xr = Xr[..., :nnyquist] * amp
+        Xi = Xi[..., :nnyquist] * amp
+    else:
+        Xr = jnp.fft.fftshift(Xr, axes=-1)
+        Xi = jnp.fft.fftshift(Xi, axes=-1)
+    scale = 1.0 / (s1 * sqrt_enbw)
+    return tt, Xr * scale, Xi * scale, pseg
+
+
 def stft_segments(x, tvec, win, plan: seg.SegmentPlan, fs, *, onesided=True,
-                  detrend_style=1, detrendwin=False):
-    """Functional STFT entry: returns ``(tt, freq, Xfft, pseg)``.
+                  detrend_style=1, detrendwin=False, fft_backend=None):
+    """Functional STFT entry: returns ``(tt, freq, Xfft, pseg)`` (numpy).
 
     Matches the reference ``fftanal.fft_win`` contract
-    (``fft_analysis.py:2126-2203``) with batched execution.
+    (``fft_analysis.py:2126-2203``) with batched execution; ``Xfft`` is
+    complex on the host regardless of the device transform path.
     """
-    win = jnp.asarray(win)
-    s1 = seg.get_s1(np.asarray(win))
-    s2 = seg.get_s2(np.asarray(win))
+    win_np = np.asarray(win)
+    s1 = seg.get_s1(win_np)
+    s2 = seg.get_s2(win_np)
     enbw = seg.get_enbw(fs, s1, s2)
-    tt, X, pseg = _stft_core(
-        jnp.asarray(x), jnp.asarray(tvec), win,
-        jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(np.sqrt(enbw)),
-        navr=plan.navr, nwins=plan.nwins, noverlap=plan.noverlap,
-        nfft=plan.nfft, nnyquist=plan.nnyquist, onesided=bool(onesided),
-        detrend_style=int(detrend_style), detrendwin=bool(detrendwin))
+    static = dict(navr=plan.navr, nwins=plan.nwins, noverlap=plan.noverlap,
+                  nfft=plan.nfft, nnyquist=plan.nnyquist,
+                  onesided=bool(onesided), detrend_style=int(detrend_style),
+                  detrendwin=bool(detrendwin))
+    backend = resolve_fft_backend(fft_backend)
+    x = np.asarray(x)
+    if backend == "xla":
+        tt, X, pseg = _stft_core_xla(
+            jnp.asarray(x), jnp.asarray(tvec), jnp.asarray(win_np),
+            jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(np.sqrt(enbw)),
+            **static)
+        X = np.asarray(X)
+    else:
+        if np.iscomplexobj(x):
+            xr = jnp.asarray(np.ascontiguousarray(x.real))
+            xi = jnp.asarray(np.ascontiguousarray(x.imag))
+        else:
+            xr, xi = jnp.asarray(x), None
+        tt, Xr, Xi, pseg = _stft_core_mxu(
+            xr, xi, jnp.asarray(tvec), jnp.asarray(win_np),
+            jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(np.sqrt(enbw)),
+            **static)
+        X = np.asarray(Xr) + 1j * np.asarray(Xi)
     freq = np.fft.fftfreq(plan.nfft, 1.0 / fs)
     freq = freq[:plan.nnyquist] if onesided else np.fft.fftshift(freq)
-    return tt, jnp.asarray(freq), X, pseg
+    return np.asarray(tt), freq, X, np.asarray(pseg)
 
 
 class fftanal(Struct):
@@ -131,6 +183,7 @@ class fftanal(Struct):
         self.detrendstyle = kwargs.get("detrend", 1)
         self.frange = kwargs.get("frange", None)
         self.axes = kwargs.get("axes", -1)
+        self.fft_backend = kwargs.get("fft_backend", None)
 
         if self.onesided is None:
             self.onesided = not (np.iscomplexobj(sigx)
@@ -188,7 +241,8 @@ class fftanal(Struct):
                 Navr=self.Navr, windowoverlap=self.overlap,
                 windowfunction=self.window, useMLAB=self.useMLAB,
                 plotit=self.plotit, verbose=self.verbose,
-                detrend_style=self.detrendstyle, onesided=self.onesided)
+                detrend_style=self.detrendstyle, onesided=self.onesided,
+                fft_backend=self.fft_backend)
         self.update(self.fftinfo)
 
     def stft(self):
@@ -216,7 +270,8 @@ class fftanal(Struct):
         fs = self.__Fs__(tvec)
         tt, freq, X, pseg = stft_segments(
             sig, tvec, self.win, self._plan(), fs, onesided=self.onesided,
-            detrend_style=self.detrendstyle, detrendwin=detrendwin)
+            detrend_style=self.detrendstyle, detrendwin=detrendwin,
+            fft_backend=self.fft_backend)
         self.tper = float(tvec[min(self.nwins, len(tvec) - 1)] - tvec[0])
         return tt, freq, X, pseg
 
@@ -224,14 +279,14 @@ class fftanal(Struct):
         sig = self.__trimsig__(self.sigx, self.ibounds)
         tvec = self.__trimsig__(self.tvec, self.ibounds)
         self.tseg, self.freq, self.Xseg, self.Xpow = self.fft_win(sig, tvec)
-        self.Xfft = jnp.mean(self.Xseg, axis=0)
+        self.Xfft = np.mean(self.Xseg, axis=0)
         return self.freq, self.Xseg
 
     def Ystft(self):
         sig = self.__trimsig__(self.sigy, self.ibounds)
         tvec = self.__trimsig__(self.tvec, self.ibounds)
         self.tseg, self.freq, self.Yseg, self.Ypow = self.fft_win(sig, tvec)
-        self.Yfft = jnp.mean(self.Yseg, axis=0)
+        self.Yfft = np.mean(self.Yseg, axis=0)
         return self.freq, self.Yseg
 
     def Pstft(self):
@@ -242,21 +297,21 @@ class fftanal(Struct):
         function path's ``Y conj(X)`` (reference ``:393``); both preserved.
         """
         if hasattr(self, "Xseg"):
-            self.Pxx_seg = self.Xseg * jnp.conj(self.Xseg)
-            self.Lxx_seg = jnp.sqrt(jnp.abs(self.ENBW * self.Pxx_seg))
+            self.Pxx_seg = self.Xseg * np.conj(self.Xseg)
+            self.Lxx_seg = np.sqrt(np.abs(self.ENBW * self.Pxx_seg))
             if self.onesided:
                 self.Lxx_seg = np.sqrt(2) * self.Lxx_seg
         if hasattr(self, "Yseg"):
-            self.Pyy_seg = self.Yseg * jnp.conj(self.Yseg)
-            self.Lyy_seg = jnp.sqrt(jnp.abs(self.ENBW * self.Pyy_seg))
+            self.Pyy_seg = self.Yseg * np.conj(self.Yseg)
+            self.Lyy_seg = np.sqrt(np.abs(self.ENBW * self.Pyy_seg))
             if self.onesided:
                 self.Lyy_seg = np.sqrt(2) * self.Lyy_seg
         if hasattr(self, "Xseg") and hasattr(self, "Yseg"):
-            self.Pxy_seg = self.Xseg * jnp.conj(self.Yseg)
-            self.Lxy_seg = jnp.sqrt(jnp.abs(self.ENBW * self.Pxy_seg))
+            self.Pxy_seg = self.Xseg * np.conj(self.Yseg)
+            self.Lxy_seg = np.sqrt(np.abs(self.ENBW * self.Pxy_seg))
             if self.onesided:
                 self.Lxy_seg = np.sqrt(2) * self.Lxy_seg
-            self.phixy_seg = jnp.angle(self.Pxy_seg)
+            self.phixy_seg = np.angle(self.Pxy_seg)
             self.Cxy_seg, self.Cxy2_seg = Cxy_Cxy2(self.Pxx_seg,
                                                    self.Pyy_seg, self.Pxy_seg)
 
@@ -264,14 +319,15 @@ class fftanal(Struct):
         """Average per-segment spectra; propagate variances (reference :1975)."""
         for param in ["Pxx", "Pyy", "Pxy"]:
             if hasattr(self, param + "_seg"):
-                mean = jnp.mean(getattr(self, param + "_seg"), axis=0)
+                mean = np.mean(getattr(self, param + "_seg"), axis=0)
                 setattr(self, param, mean)
                 setattr(self, "var" + param, (mean / np.sqrt(self.Navr)) ** 2.0)
         if hasattr(self, "Pxy"):
-            self.phi_xy = jnp.angle(self.Pxy)
+            self.phi_xy = np.angle(self.Pxy)
             self.Cxy, self.Cxy2 = Cxy_Cxy2(self.Pxx, self.Pyy, self.Pxy)
-            self.varPhxy = (jnp.sqrt(1.0 - self.Cxy2)
-                            / jnp.sqrt(2.0 * self.Navr * self.Cxy)) ** 2.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                self.varPhxy = (np.sqrt(1.0 - self.Cxy2)
+                                / np.sqrt(2.0 * self.Navr * self.Cxy)) ** 2.0
             self.varCxy = ((1 - self.Cxy2) / np.sqrt(2 * self.Navr)) ** 2.0
             self.varCxy2 = 4.0 * self.Cxy2 * self.varCxy
 
@@ -281,15 +337,14 @@ class fftanal(Struct):
         nfft = self.nwins
         for param in ["Pxx", "Pyy", "Pxy"]:
             if hasattr(self, param):
-                tmp = getattr(self, param)
-                tmp = self._spectrum_to_lags(tmp, nfft)
+                tmp = self._spectrum_to_lags(getattr(self, param), nfft)
                 if param == "Pxx":
-                    self.Ex = tmp[..., 0]
+                    self.Ex = tmp[..., 0].copy()
                 if param == "Pyy":
-                    self.Ey = tmp[..., 0]
-                setattr(self, "R" + param[1:], jnp.fft.fftshift(tmp, axes=-1))
+                    self.Ey = tmp[..., 0].copy()
+                setattr(self, "R" + param[1:], np.fft.fftshift(tmp, axes=-1))
         if hasattr(self, "Rxy"):
-            self.corrcoef = self.Rxy / jnp.sqrt(self.Ex * self.Ey)
+            self.corrcoef = self.Rxy / np.sqrt(self.Ex * self.Ey)
         self.lags = (np.arange(1, nfft + 1) - self.Nnyquist) / self.Fs
 
     def crosscorr_stft(self):
@@ -298,26 +353,24 @@ class fftanal(Struct):
             if hasattr(self, param):
                 tmp = self._spectrum_to_lags(getattr(self, param), nfft)
                 if param.startswith("Pxx"):
-                    self.Ex_seg = tmp[..., 0]
+                    self.Ex_seg = tmp[..., 0].copy()
                 if param.startswith("Pyy"):
-                    self.Ey_seg = tmp[..., 0]
-                setattr(self, "R" + param[1:],
-                        jnp.fft.fftshift(tmp, axes=-1))
+                    self.Ey_seg = tmp[..., 0].copy()
+                setattr(self, "R" + param[1:], np.fft.fftshift(tmp, axes=-1))
         if hasattr(self, "Rxy_seg"):
-            self.corrcoef_seg = self.Rxy_seg / jnp.sqrt(
+            self.corrcoef_seg = self.Rxy_seg / np.sqrt(
                 self.Ex_seg * self.Ey_seg)[..., None]
         self.lags = (np.arange(1, nfft + 1) - self.Nnyquist) / self.Fs
 
     def _spectrum_to_lags(self, P, nfft):
         """One/two-sided spectrum -> sqrt(nfft)-scaled lag correlations
         (reference :1846-1860)."""
-        P = jnp.asarray(P)
+        P = np.asarray(P)
         if self.onesided:
-            inv = jnp.asarray(1.0 / _onesided_power_scale(nfft, self.Nnyquist),
-                              dtype=P.real.dtype)
-            return np.sqrt(nfft) * jnp.fft.irfft(P * inv, n=nfft, axis=-1)
-        tmp = jnp.fft.ifftshift(P, axes=-1)
-        return np.sqrt(nfft) * jnp.fft.ifft(tmp, n=nfft, axis=-1)
+            inv = 1.0 / _onesided_power_scale(nfft, self.Nnyquist)
+            return np.sqrt(nfft) * np.fft.irfft(P * inv, n=nfft, axis=-1)
+        tmp = np.fft.ifftshift(P, axes=-1)
+        return np.sqrt(nfft) * np.fft.ifft(tmp, n=nfft, axis=-1)
 
     # ---------------- conversions (reference :2022-2086) --------------- #
 
@@ -326,13 +379,14 @@ class fftanal(Struct):
         amp = _onesided_amp_scale(self.nfft, self.Nnyquist)
         for param in ["Pxx", "Pyy", "Pxy"]:
             if hasattr(self, param):
-                tmp = jnp.sqrt(jnp.abs(self.ENBW * getattr(self, param)))
+                tmp = np.sqrt(np.abs(self.ENBW * np.asarray(getattr(self, param))))
                 if self.onesided:
-                    tmp = tmp * jnp.asarray(amp, dtype=tmp.dtype)
+                    tmp = tmp * amp
                 setattr(self, "L" + param[1:], tmp)
-                setattr(self, "varL" + param[1:],
-                        (tmp ** 2) * (getattr(self, "var" + param)
-                                      / jnp.abs(getattr(self, param)) ** 2))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    setattr(self, "varL" + param[1:],
+                            (tmp ** 2) * (np.asarray(getattr(self, "var" + param))
+                                          / np.abs(np.asarray(getattr(self, param))) ** 2))
 
     def integrate_spectra(self):
         from .integrate import integratespectra
@@ -346,31 +400,32 @@ class fftanal(Struct):
     # ---------------- small helpers (reference :2092-2124) ------------- #
 
     def detrend(self, sig):
-        return detrend_func(self.detrendstyle)(jnp.asarray(sig), axis=-1)
+        return np.asarray(detrend_func(self.detrendstyle)(np.asarray(sig),
+                                                          axis=-1))
 
     def fft(self, sig, nfft=None, axes=None):
         if axes is None:
             axes = self.axes
         if nfft is None:
             nfft = self.nfft
-        return jnp.fft.fft(jnp.asarray(sig), n=nfft, axis=axes)
+        return np.fft.fft(np.asarray(sig), n=nfft, axis=axes)
 
     def ifft(self, sig, nfft=None, axes=None):
         if axes is None:
             axes = self.axes
         if nfft is None:
             nfft = self.nfft
-        return jnp.fft.ifft(jnp.asarray(sig), n=nfft, axis=axes)
+        return np.fft.ifft(np.asarray(sig), n=nfft, axis=axes)
 
     def fftshift(self, sig, axes=None):
         if axes is None:
             axes = self.axes
-        return jnp.fft.fftshift(jnp.asarray(sig), axes=axes)
+        return np.fft.fftshift(np.asarray(sig), axes=axes)
 
     def ifftshift(self, sig, axes=None):
         if axes is None:
             axes = self.axes
-        return jnp.fft.ifftshift(jnp.asarray(sig), axes=axes)
+        return np.fft.ifftshift(np.asarray(sig), axes=axes)
 
     # ---------------- statics (reference :2363-2510) ------------------- #
 

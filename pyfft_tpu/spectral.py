@@ -5,10 +5,18 @@ This module provides the role of the reference's ``fft_pwelch``
 
 * the per-segment Python loop (reference ``fft_analysis.py:362-388``) becomes
   a single batched ``frame -> window -> FFT -> power`` pipeline under one
-  ``jax.jit`` — XLA fuses the window multiply and power into the FFT's
-  prologue/epilogue, and the segment axis becomes a clean batch dimension;
-* all shape arithmetic (segment counts, overlap, one-sided bin selection) is
-  resolved statically at trace time (:mod:`pyfft_tpu.segmentation`);
+  ``jax.jit`` — the segment axis is a clean batch dimension;
+* two device transform paths:
+  - ``xla``: complex ``jnp.fft`` (CPU/GPU and complex-capable TPUs);
+  - ``mxu``: real-arithmetic matmul-DFTs (:mod:`pyfft_tpu.ops.mxu_fft`) —
+    complex data travels as (re, im) pairs.  This is the TPU path: the
+    backend here exposes no complex dtype, and dense DFT matmuls are what
+    feed the 128x128 MXU;
+* all shape arithmetic is resolved statically at trace time
+  (:mod:`pyfft_tpu.segmentation`);
+* the O(nfreq) finalization (coherence, variances, amplitude spectra,
+  lag-domain correlations) runs on the host in float64 NumPy — it is
+  negligible work and keeps the device graph free of complex ops;
 * normalization contract is bin-for-bin identical to the reference homebrew
   path: one-sided energy doubling on interior bins (``fft_analysis.py:402-421``),
   ``1/S1^2`` RMS-power scaling then ``1/ENBW`` density scaling
@@ -16,11 +24,11 @@ This module provides the role of the reference's ``fft_pwelch``
   (``fft_analysis.py:496-514``), lag-domain correlations (``:544-597``).
 
 The public entry point :func:`fft_pwelch` keeps the reference's exact calling
-convention and its output tuple ``(freq, Pxy, Pxx, Pyy, Cxy, phi_xy, info)``.
+convention and output tuple ``(freq, Pxy, Pxx, Pyy, Cxy, phi_xy, info)``.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import partial, lru_cache
 
 import numpy as np
 import jax
@@ -30,10 +38,36 @@ from .utils.structure import Struct
 from .utils.detrend import detrend_func
 from .windows import windows
 from . import segmentation as seg
+from .ops import mxu_fft
 
 
 __all__ = ["fft_pwelch", "fftinfosc", "Cxy_Cxy2", "welch_cross_spectra",
-           "csd_oracle"]
+           "csd_oracle", "backend_supports_complex", "resolve_fft_backend"]
+
+
+# --------------------------------------------------------------------------- #
+# Backend capability probe
+# --------------------------------------------------------------------------- #
+
+@lru_cache(maxsize=None)
+def backend_supports_complex() -> bool:
+    """True when the default JAX backend fully supports complex arrays.
+
+    TPU backends here reject complex ops and even complex host<->device
+    transfers (``UNIMPLEMENTED``) — and a compile-only probe is not enough
+    because kernels with real outputs can compile while complex transfers
+    still fail at runtime.  The decision is therefore platform-based: only
+    CPU/GPU take the complex ``jnp.fft`` path; everything else (TPU) uses
+    the real-pair MXU path, which is also the architecture target.
+    """
+    return jax.default_backend() in ("cpu", "gpu", "cuda", "rocm")
+
+
+def resolve_fft_backend(fft_backend=None) -> str:
+    """Resolve 'auto'/None to a concrete transform path ('xla' or 'mxu')."""
+    if fft_backend in ("xla", "mxu"):
+        return fft_backend
+    return "xla" if backend_supports_complex() else "mxu"
 
 
 # --------------------------------------------------------------------------- #
@@ -79,31 +113,31 @@ class fftinfosc(Struct):
 # --------------------------------------------------------------------------- #
 
 def Cxy_Cxy2(Pxx, Pyy, Pxy, ibg=None):
-    """Complex coherence and mean-squared coherence.
+    """Complex coherence and mean-squared coherence (host, NumPy).
 
     ``Cxy = Pxy / sqrt(|Pxx| |Pyy|)``; ``Cxy2 = Pxy conj(Pxy)/(|Pxx||Pyy|)``
     (reference ``fft_analysis.py:1672-1677``).  With ``ibg`` given, returns
     the imaginary coherence and background-subtracted coherence instead
     (reference ``:1683-1688``).
     """
-    Pxx = jnp.asarray(Pxx)
-    Pyy = jnp.asarray(Pyy)
-    Pxy = jnp.asarray(Pxy)
+    Pxx = np.asarray(Pxx)
+    Pyy = np.asarray(Pyy)
+    Pxy = np.asarray(Pxy)
     if Pxx.ndim < Pyy.ndim:
         Pxx = Pxx.reshape(Pxx.shape + (1,) * (Pyy.ndim - Pxx.ndim))
-    denom = jnp.abs(Pxx) * jnp.abs(Pyy)
-    Cxy2 = Pxy * jnp.conj(Pxy) / denom
-    Cxy = Pxy / jnp.sqrt(denom)
+    denom = np.abs(Pxx) * np.abs(Pyy)
+    Cxy2 = Pxy * np.conj(Pxy) / denom
+    Cxy = Pxy / np.sqrt(denom)
     if ibg is None:
         return Cxy, Cxy2
-    iCxy = jnp.imag(Cxy) / (1.0 - jnp.real(Cxy))
-    bg = jnp.mean(Cxy[:, ibg], axis=-1, keepdims=True)
-    Cprime = jnp.real(Cxy - bg) / (1.0 - jnp.real(Cxy - bg))
+    iCxy = np.imag(Cxy) / (1.0 - np.real(Cxy))
+    bg = np.mean(Cxy[:, ibg], axis=-1, keepdims=True)
+    Cprime = np.real(Cxy - bg) / (1.0 - np.real(Cxy - bg))
     return iCxy, Cprime
 
 
 # --------------------------------------------------------------------------- #
-# Jitted segment pipeline
+# One-sided bin-scaling vectors
 # --------------------------------------------------------------------------- #
 
 def _onesided_power_scale(nfft: int, nnyquist: int) -> np.ndarray:
@@ -132,17 +166,19 @@ def _onesided_amp_scale(nfft: int, nnyquist: int) -> np.ndarray:
     return s
 
 
+# --------------------------------------------------------------------------- #
+# Jitted segment pipelines (device side, fully static shapes)
+# --------------------------------------------------------------------------- #
+
 @partial(jax.jit, static_argnames=("navr", "nwins", "noverlap", "nfft",
                                    "nnyquist", "onesided", "detrend_style",
                                    "ntmodel"))
-def _welch_segment_spectra(x, y, win, s1sq_enbw, *, navr, nwins, noverlap,
-                           nfft, nnyquist, onesided, detrend_style, ntmodel):
-    """Batched Welch segment spectra (device side, fully static shapes).
+def _welch_core_xla(x, y, win, s1sq_enbw, *, navr, nwins, noverlap,
+                    nfft, nnyquist, onesided, detrend_style, ntmodel):
+    """Complex-dtype Welch segment spectra (CPU/GPU path).
 
     Inputs: ``x (nt,)``, ``y (nch, nt)``, ``win (nwins,)``,
-    ``s1sq_enbw`` = ``S1^2 * ENBW`` (traced scalar so window changes do not
-    recompile).  Returns per-segment and averaged auto-/cross-spectra plus the
-    raw segment FFTs.
+    ``s1sq_enbw = S1^2 * ENBW`` (traced so window changes do not recompile).
     """
     det = detrend_func(detrend_style)
     x = det(x, axis=-1)
@@ -176,43 +212,146 @@ def _welch_segment_spectra(x, y, win, s1sq_enbw, *, navr, nwins, noverlap,
         Pyy = jnp.fft.fftshift(Pyy, axes=-1)
         Pxy = jnp.fft.fftshift(Pxy, axes=-1)
 
-    # RMS power then spectral density (reference :432-440)
     norm = 1.0 / s1sq_enbw
     Pxx = Pxx * norm
     Pyy = Pyy * norm
     Pxy = Pxy * norm
 
-    return dict(
-        Pxx_seg=Pxx, Pyy_seg=Pyy, Pxy_seg=Pxy,
-        Xfft_seg=X, Yfft_seg=Y,
-        Pxx=jnp.mean(Pxx, axis=0),
-        Pyy=jnp.mean(Pyy, axis=1).T,     # (nfreq, nch)
-        Pxy=jnp.mean(Pxy, axis=1).T,
+    return dict(Pxx_seg=Pxx, Pyy_seg=Pyy, Pxy_seg=Pxy,
+                Xfft_seg=X, Yfft_seg=Y,
+                Pxx=jnp.mean(Pxx, axis=0),
+                Pyy=jnp.mean(Pyy, axis=1).T,
+                Pxy=jnp.mean(Pxy, axis=1).T)
+
+
+@partial(jax.jit, static_argnames=("navr", "nwins", "noverlap", "nfft",
+                                   "nnyquist", "onesided", "detrend_style",
+                                   "ntmodel"))
+def _welch_core_mxu(xr, xi, yr, yi, win, s1sq_enbw, *, navr, nwins, noverlap,
+                    nfft, nnyquist, onesided, detrend_style, ntmodel):
+    """Real-pair Welch segment spectra (TPU path; no complex dtype anywhere).
+
+    ``xi``/``yi`` are None for exactly-real inputs.  The cross-spectrum
+    follows the reference's ``Y conj(X)`` convention (``fft_analysis.py:393``):
+    ``Re = Yr Xr + Yi Xi``, ``Im = Yi Xr - Yr Xi``.
+    """
+    det = detrend_func(detrend_style)
+    hop = nwins - noverlap
+
+    def prep(re, im):
+        re = det(re, axis=-1)
+        im = None if im is None else det(im, axis=-1)
+        return re, im
+
+    xr, xi = prep(xr, xi)
+    yr, yi = prep(yr, yi)
+
+    def frames(re, im, model):
+        if model:
+            fr = re[None, :nwins]
+            fi = None if im is None else im[None, :nwins]
+        else:
+            fr = seg.frame_signal(re, nwins, hop, navr)
+            fi = None if im is None else seg.frame_signal(im, nwins, hop, navr)
+        return fr, fi
+
+    xfr, xfi = frames(xr, xi, ntmodel)
+    yfr, yfi = frames(yr, yi, False)
+
+    w = win.astype(xfr.dtype)
+    Xr, Xi = mxu_fft.fft_pair(xfr * w, None if xfi is None else xfi * w,
+                              n=nfft, axis=-1)
+    Yr, Yi = mxu_fft.fft_pair(yfr * w, None if yfi is None else yfi * w,
+                              n=nfft, axis=-1)
+    if ntmodel:
+        Xr = jnp.broadcast_to(Xr, (navr, nfft))
+        Xi = jnp.broadcast_to(Xi, (navr, nfft))
+
+    Pxx = Xr * Xr + Xi * Xi                                  # (navr, nfft)
+    Pyy = Yr * Yr + Yi * Yi                                  # (nch, navr, nfft)
+    Pxy_re = Yr * Xr + Yi * Xi
+    Pxy_im = Yi * Xr - Yr * Xi
+
+    if onesided:
+        scale = jnp.asarray(_onesided_power_scale(nfft, nnyquist),
+                            dtype=Pxx.dtype)
+        Pxx = Pxx[..., :nnyquist] * scale
+        Pyy = Pyy[..., :nnyquist] * scale
+        Pxy_re = Pxy_re[..., :nnyquist] * scale
+        Pxy_im = Pxy_im[..., :nnyquist] * scale
+    else:
+        Pxx = jnp.fft.fftshift(Pxx, axes=-1)
+        Pyy = jnp.fft.fftshift(Pyy, axes=-1)
+        Pxy_re = jnp.fft.fftshift(Pxy_re, axes=-1)
+        Pxy_im = jnp.fft.fftshift(Pxy_im, axes=-1)
+
+    norm = 1.0 / s1sq_enbw
+    return dict(Pxx_seg=Pxx * norm, Pyy_seg=Pyy * norm,
+                Pxy_seg_re=Pxy_re * norm, Pxy_seg_im=Pxy_im * norm,
+                Xfft_seg_re=Xr, Xfft_seg_im=Xi,
+                Yfft_seg_re=Yr, Yfft_seg_im=Yi,
+                Pxx=jnp.mean(Pxx, axis=0) * norm,
+                Pyy=jnp.mean(Pyy, axis=1).T * norm,
+                Pxy_re=jnp.mean(Pxy_re, axis=1).T * norm,
+                Pxy_im=jnp.mean(Pxy_im, axis=1).T * norm)
+
+
+def _split_pair(a):
+    """Host-side complex -> (re, im | None) split for the MXU path."""
+    a = np.asarray(a)
+    if np.iscomplexobj(a):
+        return (jnp.asarray(np.ascontiguousarray(a.real)),
+                jnp.asarray(np.ascontiguousarray(a.imag)))
+    return jnp.asarray(a), None
+
+
+def _run_welch_core(x_in, y_in, win, s1sq_enbw, *, backend, **static):
+    """Dispatch to a transform path; returns numpy-complex segment results."""
+    if backend == "xla":
+        out = _welch_core_xla(jnp.asarray(x_in), jnp.asarray(y_in.T),
+                              jnp.asarray(win), jnp.asarray(s1sq_enbw),
+                              **static)
+        return {k: np.asarray(v) for k, v in out.items()}
+    xr, xi = _split_pair(x_in)
+    yr, yi = _split_pair(y_in.T)
+    out = _welch_core_mxu(xr, xi, yr, yi, jnp.asarray(win),
+                          jnp.asarray(s1sq_enbw), **static)
+    out = {k: np.asarray(v) for k, v in out.items()}
+    res = dict(
+        Pxx_seg=out["Pxx_seg"].astype(np.complex128),
+        Pyy_seg=out["Pyy_seg"].astype(np.complex128),
+        Pxy_seg=out["Pxy_seg_re"] + 1j * out["Pxy_seg_im"],
+        Xfft_seg=out["Xfft_seg_re"] + 1j * out["Xfft_seg_im"],
+        Yfft_seg=out["Yfft_seg_re"] + 1j * out["Yfft_seg_im"],
+        Pxx=out["Pxx"].astype(np.complex128),
+        Pyy=out["Pyy"].astype(np.complex128),
+        Pxy=out["Pxy_re"] + 1j * out["Pxy_im"],
     )
+    return res
 
 
 def welch_cross_spectra(x, y, win, plan: seg.SegmentPlan, fs: float, *,
-                        onesided=True, detrend_style=1, ntmodel=False):
+                        onesided=True, detrend_style=1, ntmodel=False,
+                        fft_backend=None):
     """Functional core: averaged auto-/cross-spectral densities.
 
-    Thin convenience wrapper over the jitted segment pipeline; returns a dict
-    with ``freq`` plus the outputs of :func:`_welch_segment_spectra`.
+    Returns a dict with ``freq`` plus per-segment and averaged spectra
+    (numpy, complex where applicable).
     """
-    win = jnp.asarray(win)
-    s1 = seg.get_s1(np.asarray(win))
-    enbw = seg.get_enbw(fs, s1, seg.get_s2(np.asarray(win)))
-    y2 = jnp.atleast_2d(jnp.asarray(y))
-    out = _welch_segment_spectra(
-        jnp.asarray(x), y2, win, jnp.asarray(s1 ** 2 * enbw),
+    win = np.asarray(win)
+    s1 = seg.get_s1(win)
+    enbw = seg.get_enbw(fs, s1, seg.get_s2(win))
+    y2 = np.atleast_2d(np.asarray(y))
+    if y2.shape[0] == 1 and np.asarray(y).ndim == 1:
+        y2 = y2.T                      # (nt, 1)
+    out = _run_welch_core(
+        np.asarray(x), y2, win, s1 ** 2 * enbw,
+        backend=resolve_fft_backend(fft_backend),
         navr=plan.navr, nwins=plan.nwins, noverlap=plan.noverlap,
         nfft=plan.nfft, nnyquist=plan.nnyquist, onesided=bool(onesided),
         detrend_style=int(detrend_style), ntmodel=bool(ntmodel))
     freq = np.fft.fftfreq(plan.nfft, 1.0 / fs)
-    if onesided:
-        freq = freq[:plan.nnyquist]
-    else:
-        freq = np.fft.fftshift(freq)
-    out["freq"] = jnp.asarray(freq)
+    out["freq"] = freq[:plan.nnyquist] if onesided else np.fft.fftshift(freq)
     return out
 
 
@@ -260,7 +399,8 @@ def csd_oracle(x, y, nfft, fs, detrend=None, window=None, noverlap=0,
         else:
             Pxy[1:-1] *= 2.0
         freqs = np.abs(freqs[:nret])
-        freqs[-1] = abs(fs / 2.0) if nfft % 2 == 0 else freqs[-1]
+        if nfft % 2 == 0:
+            freqs[-1] = fs / 2.0
     else:
         Pxy = np.fft.fftshift(Pxy)
         freqs = np.fft.fftshift(freqs)
@@ -273,7 +413,7 @@ def csd_oracle(x, y, nfft, fs, detrend=None, window=None, noverlap=0,
 
 def fft_pwelch(tvec, sigx, sigy, tbounds=None, Navr=None, windowoverlap=None,
                windowfunction=None, useMLAB=None, plotit=None, verbose=None,
-               detrend_style=None, onesided=None, **kwargs):
+               detrend_style=None, onesided=None, fft_backend=None, **kwargs):
     """Welch-averaged cross-spectral analysis of two signals.
 
     Computes the cross- and auto-power spectral densities, coherence,
@@ -293,6 +433,9 @@ def fft_pwelch(tvec, sigx, sigy, tbounds=None, Navr=None, windowoverlap=None,
     - full-span inputs are reflect-extended at the boundaries (``:196-205``);
     - ``useMLAB=True`` runs the independent NumPy oracle path instead of the
       TPU pipeline (role of ``matplotlib.mlab.csd``; ``:288-303``).
+
+    ``fft_backend``: None/'auto' (probe the device), 'xla' (complex
+    ``jnp.fft``) or 'mxu' (real-pair matmul DFTs — the TPU path).
 
     Returns ``(freq, Pxy, Pxx, Pyy, Cxy, phi_xy, fftinfo)``.
 
@@ -411,7 +554,7 @@ def fft_pwelch(tvec, sigx, sigy, tbounds=None, Navr=None, windowoverlap=None,
             print("using the independent NumPy oracle path for spectra")
 
         def _det(d):
-            return np.asarray(detrend(jnp.asarray(d), axis=0))
+            return np.asarray(detrend(np.asarray(d), axis=0))
 
         xm = x_in
         if nTmodel:
@@ -424,9 +567,10 @@ def fft_pwelch(tvec, sigx, sigy, tbounds=None, Navr=None, windowoverlap=None,
         Pyy = np.zeros((nch, len(freq)), dtype=np.float64)
         Pxy = np.zeros((nch, len(freq)), dtype=np.complex128)
         for ii in range(nch):
-            Pyy[ii, :], _ = csd_oracle(y_in[:, ii], y_in[:, ii], nfft, fs=Fs,
-                                       detrend=_det, window=win,
-                                       noverlap=noverlap, sides=sides)
+            pyy_ii, _ = csd_oracle(y_in[:, ii], y_in[:, ii], nfft, fs=Fs,
+                                   detrend=_det, window=win,
+                                   noverlap=noverlap, sides=sides)
+            Pyy[ii, :] = pyy_ii.real
             Pxy[ii, :], _ = csd_oracle(xm, y_in[:, ii], nfft, fs=Fs,
                                        detrend=_det, window=win,
                                        noverlap=noverlap, sides=sides)
@@ -435,28 +579,21 @@ def fft_pwelch(tvec, sigx, sigy, tbounds=None, Navr=None, windowoverlap=None,
             Pxx = Pxx[:Nnyquist]
             Pyy = Pyy[:, :Nnyquist]
             Pxy = Pxy[:, :Nnyquist]
-        Pyy = jnp.asarray(Pyy.T)
-        Pxy = jnp.asarray(Pxy.T)
-        Pxx = jnp.asarray(Pxx)
-        freq = jnp.asarray(freq)
+        Pyy = Pyy.T
+        Pxy = Pxy.T
     else:
         if verbose:
-            print("using the batched TPU Welch pipeline for spectra")
-        out = _welch_segment_spectra(
-            jnp.asarray(x_in),
-            jnp.asarray(y_in.T),                 # (nch, nt)
-            jnp.asarray(win),
-            jnp.asarray(fftinfo.S1 ** 2 * fftinfo.ENBW),
+            print("using the batched device Welch pipeline "
+                  f"({resolve_fft_backend(fft_backend)} transform path)")
+        out = _run_welch_core(
+            x_in, y_in, win, fftinfo.S1 ** 2 * fftinfo.ENBW,
+            backend=resolve_fft_backend(fft_backend),
             navr=int(Navr), nwins=int(nwins), noverlap=int(noverlap),
             nfft=int(nfft), nnyquist=int(Nnyquist), onesided=bool(onesided),
             detrend_style=int(detrend_style), ntmodel=bool(nTmodel))
 
         freq = np.fft.fftfreq(nfft, 1.0 / Fs)
-        if onesided:
-            freq = freq[:Nnyquist]
-        else:
-            freq = np.fft.fftshift(freq)
-        freq = jnp.asarray(freq)
+        freq = freq[:Nnyquist] if onesided else np.fft.fftshift(freq)
 
         Pxx = out["Pxx"]
         Pyy = out["Pyy"]
@@ -467,14 +604,17 @@ def fft_pwelch(tvec, sigx, sigy, tbounds=None, Navr=None, windowoverlap=None,
         fftinfo.Pxy_seg = out["Pxy_seg"]
         fftinfo.Xfft_seg = out["Xfft_seg"]
         fftinfo.Yfft_seg = out["Yfft_seg"]
-        fftinfo.phixy_seg = jnp.angle(out["Pxy_seg"])
-        fftinfo.varphi_seg = jnp.zeros_like(fftinfo.phixy_seg)
+        fftinfo.phixy_seg = np.angle(out["Pxy_seg"])
+        fftinfo.varphi_seg = np.zeros_like(fftinfo.phixy_seg)
 
-    # ---------------- shared post-processing (reference :489-648) ----------
+    # ---------------- shared finalization (host, reference :489-648) -------
+    Pxx = np.asarray(Pxx)
+    Pyy = np.asarray(Pyy)
+    Pxy = np.asarray(Pxy)
     Cxy, Cxy2 = Cxy_Cxy2(Pxx, Pyy, Pxy)
 
     # Bendat'78-derived coherence variance (reference :496-498)
-    fftinfo.varCxy = ((1.0 - Cxy * jnp.conj(Cxy)) / np.sqrt(2 * Navr)) ** 2.0
+    fftinfo.varCxy = ((1.0 - Cxy * np.conj(Cxy)) / np.sqrt(2 * Navr)) ** 2.0
     fftinfo.varCxy2 = 4.0 * Cxy2 * fftinfo.varCxy
 
     fftinfo.varPxx = (Pxx / np.sqrt(Navr)) ** 2.0
@@ -483,37 +623,38 @@ def fft_pwelch(tvec, sigx, sigy, tbounds=None, Navr=None, windowoverlap=None,
 
     # A.E. White, Phys. Plasmas 17 056103 (2010) phase variance; reference :514
     # evaluates to sqrt(1-|C2|) / (2 Navr sqrt(|C2|)) via operator precedence
-    fftinfo.varPhxy = jnp.sqrt(1.0 - jnp.abs(Cxy2)) / (2.0 * Navr * jnp.sqrt(jnp.abs(Cxy2)))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        fftinfo.varPhxy = (np.sqrt(1.0 - np.abs(Cxy2))
+                           / (2.0 * Navr * np.sqrt(np.abs(Cxy2))))
 
-    phi_xy = jnp.arctan2(Pxy.imag, Pxy.real)
+    phi_xy = np.arctan2(Pxy.imag, Pxy.real)
 
     # Linear amplitude spectra (reference :526-540)
-    Lxx = jnp.sqrt(jnp.abs(fftinfo.ENBW * Pxx))
-    Lyy = jnp.sqrt(jnp.abs(fftinfo.ENBW * Pyy))
-    Lxy = jnp.sqrt(jnp.abs(fftinfo.ENBW * Pxy))
+    Lxx = np.sqrt(np.abs(fftinfo.ENBW * Pxx))
+    Lyy = np.sqrt(np.abs(fftinfo.ENBW * Pyy))
+    Lxy = np.sqrt(np.abs(fftinfo.ENBW * Pxy))
     if onesided:
         amp = _onesided_amp_scale(nfft, Nnyquist)
-        Lxx = Lxx * jnp.asarray(amp, dtype=Lxx.dtype)
-        Lyy = Lyy * jnp.asarray(amp, dtype=Lyy.dtype)[:, None]
-        Lxy = Lxy * jnp.asarray(amp, dtype=Lxy.dtype)[:, None]
+        Lxx = Lxx * amp
+        Lyy = Lyy * amp[:, None]
+        Lxy = Lxy * amp[:, None]
     fftinfo.Lxx, fftinfo.Lyy, fftinfo.Lxy = Lxx, Lyy, Lxy
 
     # Lag-domain correlations from the spectra (reference :544-597)
     if onesided:
-        half = _onesided_power_scale(nfft, Nnyquist)
-        inv = jnp.asarray(1.0 / half)
+        inv = 1.0 / _onesided_power_scale(nfft, Nnyquist)
 
         def _to_lags(P):
             sc = inv if P.ndim == 1 else inv[:, None]
-            return jnp.fft.irfft(P * sc, n=nfft, axis=0)
+            return np.fft.irfft(P * sc, n=nfft, axis=0)
 
         Rxx = _to_lags(Pxx)
         Ryy = _to_lags(Pyy)
         Rxy = _to_lags(Pxy)
-        iCxy = jnp.fft.irfft(Cxy, n=nfft, axis=0)
+        iCxy = np.fft.irfft(Cxy, n=nfft, axis=0)
     else:
         def _to_lags2(P):
-            return jnp.fft.ifft(jnp.fft.ifftshift(P, axes=0), n=nfft, axis=0)
+            return np.fft.ifft(np.fft.ifftshift(P, axes=0), n=nfft, axis=0)
 
         Rxx = _to_lags2(Pxx)
         Ryy = _to_lags2(Pyy)
@@ -526,22 +667,23 @@ def fft_pwelch(tvec, sigx, sigy, tbounds=None, Navr=None, windowoverlap=None,
     Rxy = Rxy * rt
     iCxy = iCxy * rt
 
-    Ex = Rxx[0, ...]
-    Ey = Ryy[0, ...]
-    corrcoef = Rxy / jnp.sqrt(Ex * Ey)
+    Ex = Rxx[0, ...].copy()
+    Ey = Ryy[0, ...].copy()
+    corrcoef = Rxy / np.sqrt(Ex * Ey)
 
-    fftinfo.Rxx = jnp.fft.fftshift(Rxx, axes=0)
-    fftinfo.Ryy = jnp.fft.fftshift(Ryy, axes=0)
-    fftinfo.Rxy = jnp.fft.fftshift(Rxy, axes=0)
-    fftinfo.iCxy = jnp.fft.fftshift(iCxy, axes=0)
-    fftinfo.corrcoef = jnp.fft.fftshift(corrcoef, axes=0)
+    fftinfo.Rxx = np.fft.fftshift(Rxx, axes=0)
+    fftinfo.Ryy = np.fft.fftshift(Ryy, axes=0)
+    fftinfo.Rxy = np.fft.fftshift(Rxy, axes=0)
+    fftinfo.iCxy = np.fft.fftshift(iCxy, axes=0)
+    fftinfo.corrcoef = np.fft.fftshift(corrcoef, axes=0)
     fftinfo.Ex = Ex
     fftinfo.Ey = Ey
     fftinfo.lags = (np.arange(1, nfft + 1) - Nnyquist) / Fs
 
-    fftinfo.varLxx = (Lxx ** 2) * (fftinfo.varPxx / jnp.abs(Pxx) ** 2)
-    fftinfo.varLyy = (Lyy ** 2) * (fftinfo.varPyy / jnp.abs(Pyy) ** 2)
-    fftinfo.varLxy = (Lxy ** 2) * (fftinfo.varPxy / jnp.abs(Pxy) ** 2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        fftinfo.varLxx = (Lxx ** 2) * (fftinfo.varPxx / np.abs(Pxx) ** 2)
+        fftinfo.varLyy = (Lyy ** 2) * (fftinfo.varPyy / np.abs(Pyy) ** 2)
+        fftinfo.varLxy = (Lxy ** 2) * (fftinfo.varPxy / np.abs(Pxy) ** 2)
 
     if nch == 1:
         Pyy = Pyy.flatten()
@@ -552,7 +694,7 @@ def fft_pwelch(tvec, sigx, sigy, tbounds=None, Navr=None, windowoverlap=None,
         for name in ("Rxx", "Ryy", "Rxy", "corrcoef", "iCxy", "Lxx", "Lyy",
                      "Lxy", "varLxx", "varLyy", "varLxy", "varCxy", "varCxy2",
                      "varPxx", "varPyy", "varPxy", "varPhxy"):
-            setattr(fftinfo, name, getattr(fftinfo, name).flatten())
+            setattr(fftinfo, name, np.asarray(getattr(fftinfo, name)).flatten())
         fftinfo.lags = fftinfo.lags.flatten()
 
     fftinfo.nch = nch

@@ -1,0 +1,129 @@
+"""fftanal class API: golden parity vs the genuine reference class, and
+MXU-backend (real-pair) equivalence with the XLA complex path."""
+import numpy as np
+import pytest
+
+import pyfft_tpu as ft
+
+
+def _sigs(N=2 ** 12, df=5.0, seed=0):
+    tvec = (1.0 / df) * np.arange(0.0, 1.0, 1.0 / N)
+    rng = np.random.default_rng(seed)
+    sigx = 0.005 * np.sin(2.0 * np.pi * (df * 30.0) * tvec) + 7.0
+    sigx = sigx + 0.02 * rng.standard_normal(tvec.shape)
+    sigy = 0.005 * np.sin(2.0 * np.pi * (df * 30.0) * tvec - np.pi / 4.0) + 2.5
+    sigy = sigy + 0.02 * rng.standard_normal(tvec.shape)
+    return tvec, sigx, sigy
+
+
+def _ref_class(ref_fft, tvec, sigx, sigy, **kw):
+    # NOTE: the reference's own `pwelch()` crashes for 1-D signals inside
+    # `averagewins` -> `Cxy_Cxy2` (`np.size(Pyy, axis=1)` IndexError on 1-D,
+    # fft_analysis.py:1669) — a latent upstream defect.  Drive the working
+    # stages and average manually to produce the golden values.
+    obj = ref_fft.fftanal(tvec, sigx, sigy, tbounds=[tvec[10], tvec[-10]],
+                          Navr=8, windowfunction="hamming", useMLAB=False,
+                          plotit=False, verbose=False, detrend=1,
+                          onesided=True, **kw)
+    obj.Xstft()
+    obj.Ystft()
+    obj.Pstft()
+    import numpy as _np
+    for param in ["Pxx", "Pyy", "Pxy"]:
+        setattr(obj, param, _np.mean(getattr(obj, param + "_seg"), axis=0))
+        setattr(obj, "var" + param,
+                (getattr(obj, param) / _np.sqrt(obj.Navr)) ** 2.0)
+    obj.phi_xy = _np.angle(obj.Pxy)
+    # more latent upstream defects: the reference class never sets nch/nfft,
+    # which its own crosscorr/convert2amplitudes read — fill them in
+    obj.nch = 1
+    obj.nfft = obj.nwins
+    return obj
+
+
+def _our_class(tvec, sigx, sigy, **kw):
+    obj = ft.fftanal(tvec, sigx, sigy, tbounds=[tvec[10], tvec[-10]],
+                     Navr=8, windowfunction="hamming", useMLAB=False,
+                     plotit=False, verbose=False, detrend=1, onesided=True,
+                     **kw)
+    obj.pwelch()
+    return obj
+
+
+def test_class_pwelch_golden_parity(ref_fft):
+    tvec, sigx, sigy = _sigs()
+    ours = _our_class(tvec, sigx, sigy)
+    ref = _ref_class(ref_fft, tvec, sigx, sigy)
+    for f in ["freq", "Xseg", "Yseg", "Pxx_seg", "Pxy_seg", "Pxx", "Pyy",
+              "Pxy", "phi_xy", "varPxx", "Xpow"]:
+        o = np.asarray(getattr(ours, f))
+        r = np.asarray(getattr(ref, f))
+        assert o.shape == r.shape, f
+        scale = max(1.0, np.max(np.abs(r)))
+        np.testing.assert_allclose(o, r, rtol=1e-8, atol=1e-12 * scale,
+                                   err_msg=f)
+
+
+def test_class_crosscorr_golden_parity(ref_fft):
+    tvec, sigx, sigy = _sigs()
+    ours = _our_class(tvec, sigx, sigy)
+    ref = _ref_class(ref_fft, tvec, sigx, sigy)
+    ours.crosscorr()
+    ref.crosscorr()
+    for f in ["Rxx", "Ryy", "Rxy", "corrcoef", "lags", "Ex", "Ey"]:
+        o = np.ravel(np.asarray(getattr(ours, f)))
+        r = np.ravel(np.asarray(getattr(ref, f)))
+        scale = max(1.0, np.max(np.abs(r)))
+        np.testing.assert_allclose(o, r, rtol=1e-8, atol=1e-12 * scale,
+                                   err_msg=f)
+
+
+def test_class_amplitudes_golden_parity(ref_fft):
+    tvec, sigx, sigy = _sigs()
+    ours = _our_class(tvec, sigx, sigy)
+    ref = _ref_class(ref_fft, tvec, sigx, sigy)
+    ours.convert2amplitudes()
+    ref.convert2amplitudes()
+    for f in ["Lxx", "Lyy", "Lxy", "varLxx", "varLyy"]:
+        o = np.asarray(getattr(ours, f))
+        r = np.asarray(getattr(ref, f))
+        np.testing.assert_allclose(o, r, rtol=1e-8, atol=1e-12, err_msg=f)
+
+
+def test_class_nosigy():
+    tvec, sigx, _ = _sigs()
+    obj = ft.fftanal(tvec, sigx, plotit=False, verbose=False)
+    obj.pwelch()
+    assert hasattr(obj, "Pxx")
+    assert not hasattr(obj, "Pyy")
+
+
+@pytest.mark.parametrize("complexsig", [False, True])
+def test_mxu_backend_matches_xla(complexsig):
+    """The real-pair (TPU) transform path must reproduce the complex path."""
+    tvec, sigx, sigy = _sigs()
+    if complexsig:
+        sigx = sigx + 1j * np.roll(sigx, 5)
+        sigy = sigy + 1j * np.roll(sigy, 7)
+    a = _our_class(tvec, sigx, sigy, fft_backend="xla")
+    b = _our_class(tvec, sigx, sigy, fft_backend="mxu")
+    for f in ["Xseg", "Pxx", "Pyy", "Pxy", "Cxy2", "phi_xy"]:
+        np.testing.assert_allclose(np.asarray(getattr(a, f)),
+                                   np.asarray(getattr(b, f)),
+                                   rtol=1e-7, atol=1e-10, err_msg=f)
+
+
+def test_mxu_backend_fft_pwelch_matches_xla():
+    tvec, sigx, sigy = _sigs()
+    args = dict(tbounds=[tvec[0], tvec[-1]], Navr=8,
+                windowfunction="hanning", detrend_style=1, plotit=False,
+                verbose=False)
+    f1, Pxy1, Pxx1, Pyy1, Cxy1, phi1, i1 = ft.fft_pwelch(
+        tvec, sigx, sigy, fft_backend="xla", **args)
+    f2, Pxy2, Pxx2, Pyy2, Cxy2_, phi2, i2 = ft.fft_pwelch(
+        tvec, sigx, sigy, fft_backend="mxu", **args)
+    np.testing.assert_allclose(Pxx1, Pxx2, rtol=1e-7, atol=1e-12)
+    np.testing.assert_allclose(Pxy1, Pxy2, rtol=1e-7, atol=1e-12)
+    np.testing.assert_allclose(phi1, phi2, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(i1.Rxy), np.asarray(i2.Rxy),
+                               rtol=1e-6, atol=1e-10)
