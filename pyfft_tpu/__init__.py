@@ -28,6 +28,23 @@ from .spectral import (
 )
 from .fftanal import fftanal, stft_segments
 from . import ops
+from . import spectrogram as spectrogram
+from .spectrogram import stft, specgram
+from . import hilbert as hilbert_mod
+from .hilbert import hilbert, hilbert_1d
+from . import laplace as laplace_mod
+from .laplace import laplace, laplace_1d
+from . import filters
+from .filters import (
+    butter_lowpass_filter,
+    butter_bandpass,
+    upsample,
+    downsample,
+    downsample_efficient,
+)
+from . import notch
+from .notch import iirnotch, iirpeak
+from .deriv import fft_deriv
 from .utils.detrend import (
     detrend_none,
     detrend_mean,
@@ -40,6 +57,23 @@ __all__ = [
     "fftanal",
     "stft_segments",
     "ops",
+    "spectrogram",
+    "stft",
+    "specgram",
+    "hilbert",
+    "hilbert_1d",
+    "laplace",
+    "laplace_1d",
+    "filters",
+    "notch",
+    "iirnotch",
+    "iirpeak",
+    "fft_deriv",
+    "butter_lowpass_filter",
+    "butter_bandpass",
+    "upsample",
+    "downsample",
+    "downsample_efficient",
     "fft_pwelch",
     "fftinfosc",
     "Cxy_Cxy2",

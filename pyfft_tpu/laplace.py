@@ -1,0 +1,60 @@
+"""Numerical Laplace transform on a sigma grid (TPU-native).
+
+Role of the reference ``laplace.py``: a brute-force bilateral Laplace
+transform evaluated as a family of exponentially-weighted Fourier transforms
+over a grid of real parts ``sigma`` (reference ``laplace_1d``,
+``laplace.py:85-113``).
+
+TPU-first redesign: the reference's Python loop over the sigma grid becomes
+one batched weighted-rfft: build the normalized weight matrix
+``W[s, m] = exp(sigma_s (N-1-m)) / sum_n exp(sigma_s n)`` on the host, then a
+single ``(nsigma, N)`` batched rfft on the device — the sigma axis is a pure
+batch dimension that feeds the MXU.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .ops import transform
+
+
+__all__ = ["laplace", "laplace_1d"]
+
+
+def laplace(uin=None, **kwargs):
+    """2-D Laplace transform — reserved (the reference's ``laplace`` is an
+    empty stub, ``laplace.py:81``).  Delegates to :func:`laplace_1d`."""
+    if uin is None:
+        return None
+    return laplace_1d(uin, **kwargs)
+
+
+def laplace_1d(uin, real_sigma_interval=None, nfft=None):
+    """Bilateral Laplace transform over a grid of real parts.
+
+    Returns a complex array of shape ``(nsigma, nfft//2 + 1)``: rows are the
+    sigma grid, columns the rfft frequency bins — matching the reference's
+    output layout (``laplace.py:104-113``).
+
+    The reference normalizes each exponential weight by its own sum and
+    applies it to the time-reversed signal; both conventions are preserved
+    (weights ``exp(sigma (N-1-m)) / sum exp(sigma n)`` after unwinding the
+    double reversal at ``laplace.py:101`` and ``:109``).
+    """
+    uin = np.atleast_1d(np.asarray(uin))
+    if real_sigma_interval is None:
+        real_sigma_interval = np.arange(-1, 1 + 0.001, 0.001)
+    sig = np.asarray(real_sigma_interval, dtype=np.float64)
+    N = len(uin) if nfft is None else int(nfft)
+    x = uin[:N] if len(uin) >= N else np.pad(uin, (0, N - len(uin)))
+
+    n = np.arange(N, dtype=np.float64)
+    # log-space normalization keeps large |sigma * N| finite
+    expo = sig[:, None] * (N - 1 - n)[None, :]
+    logz = np.logaddexp.reduce(sig[:, None] * n[None, :], axis=1)
+    W = np.exp(expo - logz[:, None])
+
+    weighted = W * x[None, :]
+    return transform.rfft(weighted.astype(np.result_type(x, np.float32)
+                                          if x.dtype != np.float64
+                                          else np.float64), axis=-1)
