@@ -45,6 +45,27 @@ from .filters import (
 from . import notch
 from .notch import iirnotch, iirpeak
 from .deriv import fft_deriv
+from . import fft_analysis as fft
+from . import integrate
+from .integrate import (
+    integratespectra,
+    getNpeaks,
+    varcoh,
+    varphi,
+    monticoh,
+    montiphi,
+    mean_angle,
+    unwrap_tol,
+)
+from . import ccf as ccf_mod
+from .ccf import ccf, ccf_sh, align_signals
+from . import doppler
+from .doppler import cog, cogspec
+from . import pca
+from .pca import PCA, basic_pca
+from . import dft as dft_mod
+from . import crosscheck
+from .crosscheck import coh, coh2, psd, csd, fft_pmlab
 from .utils.detrend import (
     detrend_none,
     detrend_mean,
@@ -74,6 +95,31 @@ __all__ = [
     "upsample",
     "downsample",
     "downsample_efficient",
+    "fft",
+    "integrate",
+    "integratespectra",
+    "getNpeaks",
+    "varcoh",
+    "varphi",
+    "monticoh",
+    "montiphi",
+    "mean_angle",
+    "unwrap_tol",
+    "ccf",
+    "ccf_sh",
+    "align_signals",
+    "doppler",
+    "cog",
+    "cogspec",
+    "pca",
+    "PCA",
+    "basic_pca",
+    "crosscheck",
+    "coh",
+    "coh2",
+    "psd",
+    "csd",
+    "fft_pmlab",
     "fft_pwelch",
     "fftinfosc",
     "Cxy_Cxy2",

@@ -1,0 +1,230 @@
+"""Sharded Welch cross-spectral estimation (SP over time, DP over channels).
+
+The reference is strictly serial (largest self-test: 2^19 samples,
+``fft_analysis.py:2957``); this module is the scaling layer SURVEY §2.3
+specifies for it:
+
+- the **time axis** is partitioned across the ``'t'`` mesh axis; each device
+  computes the Welch segments whose *start* falls in its block.  Segments
+  that straddle a block boundary read up to ``nwins - 1`` neighbor samples,
+  delivered by a single ``lax.ppermute`` halo exchange (the reference's
+  overlap-slicing ``ist = arange(Navr) * hop``, ``fft_analysis.py:359``,
+  turned into a neighbor collective);
+- the **channel axis** is data-parallel over ``'ch'``;
+- segment power sums reduce with ``lax.psum`` over ``'t'`` (the reference's
+  ``np.mean(P_seg)``, ``fft_analysis.py:444-446``, as a collective);
+- global mean/linear detrend moments also reduce over ``'t'`` so sharded
+  results match the single-device pipeline bit-for-bit (up to float
+  reassociation).
+
+All shapes/counts are resolved statically; the jitted step contains only
+ppermute + batched FFT + psum, which XLA schedules over ICI.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .. import segmentation as seg
+from ..ops import mxu_fft
+from ..spectral import _onesided_power_scale, resolve_fft_backend
+from .mesh import shard_map, P, NamedSharding
+
+
+__all__ = ["welch_psd_sharded", "plan_shard_segments"]
+
+
+def plan_shard_segments(nt: int, nwins: int, hop: int, navr: int, dshards: int):
+    """Static segment->device assignment.
+
+    Device ``d`` owns time block ``[d*B, (d+1)*B)`` and computes the global
+    segments whose start index lies in its block.  Returns ``(B, M)`` with
+    ``M`` the (padded) per-device segment count.
+    """
+    if nt % dshards:
+        raise ValueError(f"time axis {nt} not divisible by {dshards} shards")
+    B = nt // dshards
+    if nwins - 1 > B:
+        raise ValueError(
+            f"segment length {nwins} needs a halo of {nwins - 1} > block {B};"
+            " use fewer time shards or longer signals")
+    counts = np.zeros(dshards, dtype=int)
+    for g in range(navr):
+        counts[(g * hop) // B] += 1
+    return B, int(counts.max())
+
+
+def _detrend_sharded(v, style, axis_name):
+    """Global mean/linear detrend via psum'd moments along the time axis."""
+    if style == 0:
+        return v
+    nt_local = v.shape[-1]
+    nshards = lax.psum(1, axis_name)
+    ntot = nt_local * nshards
+    s = lax.psum(jnp.sum(v, axis=-1, keepdims=True), axis_name)
+    mean = s / ntot
+    if style > 0:
+        return v - mean
+    # linear: fit against the *global* sample index
+    d = lax.axis_index(axis_name)
+    tloc = jnp.arange(nt_local, dtype=v.dtype) + d * nt_local
+    tmean = (ntot - 1) / 2.0
+    tc = tloc - tmean
+    st = lax.psum(jnp.sum(v * tc, axis=-1, keepdims=True), axis_name)
+    # sum over the global centered grid of tc^2 (closed form)
+    denom = (ntot * (ntot ** 2 - 1)) / 12.0
+    slope = st / denom
+    return v - mean - slope * tc
+
+
+def _halo_right(v, halo, axis_name):
+    """Append the first ``halo`` samples of the right neighbor.
+
+    ``lax.ppermute`` with a non-cyclic permutation zero-fills the last
+    shard's halo — harmless because no valid segment reads past the end.
+    """
+    nshards = lax.psum(1, axis_name)
+    head = v[..., :halo]
+    perm = [(i, i - 1) for i in range(1, nshards)]
+    recv = lax.ppermute(head, axis_name, perm)
+    return jnp.concatenate([v, recv], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("navr", "nwins", "hop", "nfft", "nnyquist",
+                                   "onesided", "detrend_style", "backend",
+                                   "B", "M", "mesh_static"))
+def _welch_sharded_jit(x, y, win, s1sq_enbw, *, navr, nwins, hop, nfft,
+                       nnyquist, onesided, detrend_style, backend, B, M,
+                       mesh_static):
+    mesh = mesh_static.mesh
+
+    def step(x_l, y_l, win_l, norm_l):
+        # x_l: (B_local,); y_l: (nch_l, B_local)
+        x_l = _detrend_sharded(x_l, detrend_style, "t")
+        y_l = _detrend_sharded(y_l, detrend_style, "t")
+
+        halo = nwins - 1
+        x_h = _halo_right(x_l, halo, "t")
+        y_h = _halo_right(y_l, halo, "t")
+
+        d = lax.axis_index("t")
+        g0 = (d * B + hop - 1) // hop           # first segment in this block
+        g_ids = g0 + jnp.arange(M)
+        valid = (g_ids * hop < (d + 1) * B) & (g_ids < navr)
+        starts = jnp.clip(g_ids * hop - d * B, 0, B + halo - nwins)
+
+        idx = starts[:, None] + jnp.arange(nwins)[None, :]
+        xfr = x_h[idx] * win_l                  # (M, nwins)
+        yfr = y_h[..., idx] * win_l             # (nch_l, M, nwins)
+
+        if backend == "xla":
+            X = jnp.fft.fft(xfr, n=nfft, axis=-1)
+            Y = jnp.fft.fft(yfr, n=nfft, axis=-1)
+            Pxx = (X * jnp.conj(X)).real
+            Pyy = (Y * jnp.conj(Y)).real
+            Pxy_re = (Y * jnp.conj(X)).real
+            Pxy_im = (Y * jnp.conj(X)).imag
+        else:
+            Xr, Xi = mxu_fft.fft_pair(xfr, None, n=nfft, axis=-1)
+            Yr, Yi = mxu_fft.fft_pair(yfr, None, n=nfft, axis=-1)
+            Pxx = Xr * Xr + Xi * Xi
+            Pyy = Yr * Yr + Yi * Yi
+            Pxy_re = Yr * Xr + Yi * Xi
+            Pxy_im = Yi * Xr - Yr * Xi
+
+        w = valid.astype(Pxx.dtype)
+        Pxx = jnp.sum(Pxx * w[:, None], axis=0)
+        Pyy = jnp.sum(Pyy * w[None, :, None], axis=1)
+        Pxy_re = jnp.sum(Pxy_re * w[None, :, None], axis=1)
+        Pxy_im = jnp.sum(Pxy_im * w[None, :, None], axis=1)
+
+        # Welch average: psum the per-device partial sums over 't'
+        Pxx = lax.psum(Pxx, "t") / navr
+        Pyy = lax.psum(Pyy, "t") / navr
+        Pxy_re = lax.psum(Pxy_re, "t") / navr
+        Pxy_im = lax.psum(Pxy_im, "t") / navr
+
+        if onesided:
+            sc = jnp.asarray(_onesided_power_scale(nfft, nnyquist),
+                             dtype=Pxx.dtype)
+            Pxx = Pxx[..., :nnyquist] * sc
+            Pyy = Pyy[..., :nnyquist] * sc
+            Pxy_re = Pxy_re[..., :nnyquist] * sc
+            Pxy_im = Pxy_im[..., :nnyquist] * sc
+        else:
+            Pxx = jnp.fft.fftshift(Pxx, axes=-1)
+            Pyy = jnp.fft.fftshift(Pyy, axes=-1)
+            Pxy_re = jnp.fft.fftshift(Pxy_re, axes=-1)
+            Pxy_im = jnp.fft.fftshift(Pxy_im, axes=-1)
+
+        return (Pxx * norm_l, Pyy * norm_l, Pxy_re * norm_l, Pxy_im * norm_l)
+
+    return shard_map(
+        step, mesh,
+        in_specs=(P("t"), P("ch", "t"), P(), P()),
+        out_specs=(P(), P("ch", None), P("ch", None), P("ch", None)),
+        check_vma=False,
+    )(x, y, win, 1.0 / s1sq_enbw)
+
+
+class _MeshBox:
+    """Hashable wrapper so a Mesh can ride in a static jit argument."""
+
+    def __init__(self, mesh):
+        self.mesh = mesh
+
+    def __hash__(self):
+        return hash((tuple(self.mesh.axis_names), self.mesh.devices.shape,
+                     tuple(d.id for d in self.mesh.devices.flat)))
+
+    def __eq__(self, other):
+        return (isinstance(other, _MeshBox)
+                and self.mesh.axis_names == other.mesh.axis_names
+                and self.mesh.devices.shape == other.mesh.devices.shape
+                and all(a.id == b.id for a, b in
+                        zip(self.mesh.devices.flat, other.mesh.devices.flat)))
+
+
+def welch_psd_sharded(x, y, win, plan: seg.SegmentPlan, fs, mesh, *,
+                      onesided=True, detrend_style=1, fft_backend=None):
+    """Distributed Welch auto-/cross-spectra over a ``('ch','t')`` mesh.
+
+    ``x (nt,)`` is the common reference signal (time-sharded);
+    ``y (nch, nt)`` is channel- and time-sharded.  Returns numpy
+    ``(freq, Pxx, Pyy, Pxy)`` with the identical normalization contract as
+    the single-device pipeline — sharded == unsharded is asserted in the
+    test-suite.
+    """
+    x = np.asarray(x)
+    y = np.atleast_2d(np.asarray(y))
+    win_np = np.asarray(win)
+    s1 = seg.get_s1(win_np)
+    enbw = seg.get_enbw(fs, s1, seg.get_s2(win_np))
+
+    dt_shards = mesh.shape["t"]
+    dch = mesh.shape["ch"]
+    if y.shape[0] % dch:
+        raise ValueError(f"nch={y.shape[0]} not divisible by ch shards {dch}")
+    B, M = plan_shard_segments(x.shape[-1], plan.nwins, plan.hop, plan.navr,
+                               dt_shards)
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("t")))
+    ys = jax.device_put(y, NamedSharding(mesh, P("ch", "t")))
+    wd = jnp.asarray(win_np, dtype=xs.dtype)
+
+    Pxx, Pyy, Pxy_re, Pxy_im = _welch_sharded_jit(
+        xs, ys, wd, jnp.asarray(s1 ** 2 * enbw, dtype=xs.dtype),
+        navr=plan.navr, nwins=plan.nwins, hop=plan.hop, nfft=plan.nfft,
+        nnyquist=plan.nnyquist, onesided=bool(onesided),
+        detrend_style=int(detrend_style),
+        backend=resolve_fft_backend(fft_backend), B=B, M=M,
+        mesh_static=_MeshBox(mesh))
+
+    freq = np.fft.fftfreq(plan.nfft, 1.0 / fs)
+    freq = freq[:plan.nnyquist] if onesided else np.fft.fftshift(freq)
+    return (freq, np.asarray(Pxx), np.asarray(Pyy),
+            np.asarray(Pxy_re) + 1j * np.asarray(Pxy_im))

@@ -179,11 +179,27 @@ def frame_signal(x, nwins: int, hop: int, navr: int):
     ``x`` has time on its *last* axis: ``(..., nt) -> (..., navr, nwins)``.
 
     This replaces the reference's hot Python loop over segments
-    (``fft_analysis.py:362-388``) with one gather that XLA lowers to an
-    efficient batched dynamic-slice; every downstream op (window multiply,
-    FFT, power) is then fully batched over the segment axis — which is what
-    feeds the MXU/VPU efficiently on TPU.
+    (``fft_analysis.py:362-388``) with a batched gather; every downstream op
+    (window multiply, FFT, power) is then fully batched over the segment
+    axis — which is what feeds the MXU/VPU efficiently on TPU.
+
+    TPU performance note: an element-level gather of ``navr * nwins``
+    indices is slow on TPU (measured ~25 ms for 16M indices).  When ``hop``
+    and ``nwins`` share a reasonably large common block ``b`` (always true
+    for the standard overlap ratios: 50% -> b = hop), the signal is
+    reshaped to ``(nt/b, b)`` rows and segments become a *row-level* gather
+    of ``navr * nwins/b`` indices — orders of magnitude fewer, lowered by
+    XLA to wide contiguous loads.
     """
+    b = math.gcd(hop, nwins)
+    need = (navr - 1) * hop + nwins
+    if b >= 16 and x.shape[-1] >= need:
+        nrows = need // b
+        xb = x[..., :nrows * b].reshape(x.shape[:-1] + (nrows, b))
+        row_idx = (jnp.arange(navr) * (hop // b))[:, None] \
+            + jnp.arange(nwins // b)[None, :]
+        fr = jnp.take(xb, row_idx, axis=-2)
+        return fr.reshape(x.shape[:-1] + (navr, nwins))
     starts = jnp.arange(navr) * hop
     idx = starts[:, None] + jnp.arange(nwins)[None, :]
     return jnp.take(x, idx, axis=-1)

@@ -341,9 +341,9 @@ def welch_cross_spectra(x, y, win, plan: seg.SegmentPlan, fs: float, *,
     win = np.asarray(win)
     s1 = seg.get_s1(win)
     enbw = seg.get_enbw(fs, s1, seg.get_s2(win))
-    y2 = np.atleast_2d(np.asarray(y))
-    if y2.shape[0] == 1 and np.asarray(y).ndim == 1:
-        y2 = y2.T                      # (nt, 1)
+    # accept y as (nt,) or channel-first (nch, nt); the runner wants (nt, nch)
+    y2 = np.asarray(y)
+    y2 = y2[:, None] if y2.ndim == 1 else y2.T
     out = _run_welch_core(
         np.asarray(x), y2, win, s1 ** 2 * enbw,
         backend=resolve_fft_backend(fft_backend),

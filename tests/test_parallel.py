@@ -1,0 +1,123 @@
+"""Sharded == unsharded correctness on the virtual 8-device CPU mesh.
+
+This is the distributed test strategy SURVEY §4 prescribes: halo-exchange
+and psum-average results must match the single-device pipeline bit-for-bit
+(up to float reassociation)."""
+import numpy as np
+import pytest
+import jax
+
+from pyfft_tpu import segmentation as seg
+from pyfft_tpu import parallel as par
+from pyfft_tpu import filters as flt
+from pyfft_tpu.spectral import welch_cross_spectra
+
+
+needs8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                            reason="needs 8 virtual devices")
+
+
+def _sigs(nt=4096, nch=4, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(nt) / 1e3
+    x = np.sin(2 * np.pi * 97.0 * t) + 0.1 * rng.standard_normal(nt)
+    y = (np.sin(2 * np.pi * 97.0 * t - 0.5)[None, :]
+         * (1.0 + np.arange(nch))[:, None]
+         + 0.1 * rng.standard_normal((nch, nt)))
+    return t, x, y
+
+
+@needs8
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (4, 2), (1, 1)])
+@pytest.mark.parametrize("detrend", [0, 1, -1])
+def test_sharded_welch_matches_single_device(mesh_shape, detrend):
+    ch, tsh = mesh_shape
+    t, x, y = _sigs()
+    mesh = par.make_mesh(ch=ch, t=tsh)
+    plan = seg.plan_segments(len(x), navr=64, windowoverlap=0.5)
+    win = np.hanning(plan.nwins + 1)[:-1]
+    fs = 1e3
+
+    freq, Pxx, Pyy, Pxy = par.welch_psd_sharded(
+        x, y, win, plan, fs, mesh, onesided=True, detrend_style=detrend)
+
+    ref = welch_cross_spectra(x, y, win, plan, fs, onesided=True,
+                              detrend_style=detrend)
+    np.testing.assert_allclose(freq, np.asarray(ref["freq"]), atol=1e-12)
+    np.testing.assert_allclose(Pxx, np.asarray(ref["Pxx"]).real,
+                               rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(Pyy.T, np.asarray(ref["Pyy"]).real,
+                               rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(Pxy.T, np.asarray(ref["Pxy"]),
+                               rtol=1e-8, atol=1e-12)
+
+
+@needs8
+def test_sharded_welch_twosided():
+    t, x, y = _sigs()
+    mesh = par.make_mesh(ch=2, t=4)
+    plan = seg.plan_segments(len(x), navr=48, windowoverlap=0.5)
+    win = np.hanning(plan.nwins + 1)[:-1]
+    freq, Pxx, Pyy, Pxy = par.welch_psd_sharded(
+        x, y, win, plan, 1e3, mesh, onesided=False, detrend_style=1)
+    ref = welch_cross_spectra(x, y, win, plan, 1e3, onesided=False,
+                              detrend_style=1)
+    np.testing.assert_allclose(Pxy.T, np.asarray(ref["Pxy"]),
+                               rtol=1e-8, atol=1e-12)
+
+
+@needs8
+def test_sharded_welch_mxu_backend():
+    """The distributed path with real-pair transforms (as on TPU)."""
+    t, x, y = _sigs()
+    mesh = par.make_mesh(ch=1, t=8)
+    plan = seg.plan_segments(len(x), navr=64, windowoverlap=0.5)
+    win = np.hanning(plan.nwins + 1)[:-1]
+    f1, Pxx1, Pyy1, Pxy1 = par.welch_psd_sharded(
+        x, y, win, plan, 1e3, mesh, fft_backend="mxu")
+    f2, Pxx2, Pyy2, Pxy2 = par.welch_psd_sharded(
+        x, y, win, plan, 1e3, mesh, fft_backend="xla")
+    np.testing.assert_allclose(Pxx1, Pxx2, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(Pxy1, Pxy2, rtol=1e-7, atol=1e-10)
+
+
+@needs8
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+def test_sharded_fir_matches_oaconvolve(mesh_shape):
+    ch, tsh = mesh_shape
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 4096))
+    taps = flt.firwin(101, 0.2)
+    mesh = par.make_mesh(ch=ch, t=tsh)
+    y = par.fir_filter_sharded(x, taps, mesh)
+    ref = flt.fir_filter(x, taps)
+    np.testing.assert_allclose(y, ref, rtol=1e-7, atol=1e-9)
+
+
+@needs8
+def test_sharded_fir_mxu_backend():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 2048))
+    taps = flt.firwin(51, 0.3)
+    mesh = par.make_mesh(ch=1, t=8)
+    y = par.fir_filter_sharded(x, taps, mesh, fft_backend="mxu")
+    ref = flt.fir_filter(x, taps)
+    np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-5)  # f32 path
+
+
+def test_plan_shard_segments_covers_all():
+    plan = seg.plan_segments(4096, navr=64, windowoverlap=0.5)
+    B, M = par.plan_shard_segments(4096, plan.nwins, plan.hop, plan.navr, 8)
+    assert B == 512
+    # every segment is owned by exactly one shard
+    owners = [(g * plan.hop) // B for g in range(plan.navr)]
+    assert len(owners) == plan.navr
+    assert max(owners) < 8
+
+
+def test_shard_errors():
+    plan = seg.plan_segments(4096, navr=2, windowoverlap=0.0)
+    with pytest.raises(ValueError, match="halo"):
+        par.plan_shard_segments(4096, plan.nwins, plan.hop, plan.navr, 8)
+    with pytest.raises(ValueError, match="divisible"):
+        par.plan_shard_segments(4095, 16, 8, 10, 8)
