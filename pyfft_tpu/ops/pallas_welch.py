@@ -1,0 +1,224 @@
+"""Pallas TPU kernel: fused windowed-DFT cross-power accumulation.
+
+The framework's native kernel tier (role of the compiled hot loop the
+reference delegates to NumPy's pocketfft; SURVEY §2.2/§7.5).  The Welch
+inner product
+
+    Pyy[f] = sum_g |(w * y_g) . W[:, f]|^2
+    Pxy[f] = sum_g (w * y_g) . W[:, f] * conj(X0_g[f])
+
+is evaluated as a tiled MXU matmul with the window *folded into the DFT
+matrix* (``W_w = diag(w) @ W``) and the per-segment powers accumulated in
+VMEM across the segment-grid dimension — the (navr, nfreq) STFT is never
+materialized in HBM.  Memory traffic is one read of the framed signal and
+one tiny write of the accumulated spectra; arithmetic is dense
+``(seg_tile, nwins) @ (nwins, freq_tile)`` contractions on the 128x128 MXU.
+
+Used by the ``fft_backend='pallas'`` fast path for one-sided real-input
+Welch estimation with moderate segment lengths (direct DFT is O(nwins) work
+per sample; favored for ``nwins <= ~4096`` where it beats the multi-pass
+four-step recursion by avoiding its HBM-bound transposes).
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+__all__ = ["welch_power_pallas", "stft_matmul_tables",
+           "pallas_welch_applicable"]
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+# Scoped VMEM per-core is 16MB on v5e; stay under it with headroom for the
+# compiler's own scratch.
+_VMEM_BUDGET = 11 * 1024 * 1024
+
+
+def _vmem_bytes(nwins, freq_tile, seg_tile):
+    """Double-buffered VMEM footprint of one grid step (f32)."""
+    tables = 2 * (2 * nwins * freq_tile)          # Wr+Wi blocks, x2 buffers
+    frames = 2 * (seg_tile * nwins)               # y block
+    ref = 2 * (2 * seg_tile * freq_tile)          # x0r+x0i blocks
+    outs = 2 * (3 * freq_tile)
+    return 4 * (tables + frames + ref + outs)
+
+
+def _choose_tiles(nwins, nfreq, B, seg_tile, freq_tile):
+    """Shrink (seg_tile, freq_tile) until the VMEM footprint fits.
+
+    Returns ``None`` when even the minimal (8, 128) tiling exceeds the
+    budget (very long segments) — callers fall back to the mxu path.
+    """
+    seg_tile = min(seg_tile, _round_up(B, 8))
+    freq_tile = min(freq_tile, _round_up(nfreq, 128))
+    while _vmem_bytes(nwins, freq_tile, seg_tile) > _VMEM_BUDGET:
+        if freq_tile > 128:
+            freq_tile -= 128
+        elif seg_tile > 8:
+            seg_tile = max(8, seg_tile // 2)
+        else:
+            return None
+    return seg_tile, freq_tile
+
+
+def pallas_welch_applicable(nwins, nfreq=None, B=1):
+    """Whether the fused kernel can tile ``nwins``-sample segments in VMEM."""
+    nfreq = nfreq if nfreq is not None else nwins // 2 + 1
+    return _choose_tiles(nwins, nfreq, B, 128, 256) is not None
+
+
+@lru_cache(maxsize=None)
+def stft_matmul_tables(nwins: int, nfreq: int, win_key, dtype=np.float32):
+    """Window-folded one-sided DFT matrices ``W_w[n, f]`` (cos, -sin)."""
+    win = np.asarray(win_key, dtype=np.float64)
+    n = np.arange(nwins)
+    f = np.arange(nfreq)
+    ang = (2.0 * np.pi / nwins) * np.outer(n, f)
+    C = (np.cos(ang) * win[:, None]).astype(dtype)
+    S = (-np.sin(ang) * win[:, None]).astype(dtype)
+    return C, S
+
+
+@lru_cache(maxsize=8)
+def _device_tables(nwins: int, nfreq: int, win_key):
+    """Device-resident window-folded DFT tables (cached: the host->device
+    transfer of the ~O(nwins*nfreq) tables dominates warm-call latency over
+    the remote-TPU tunnel if repeated)."""
+    C, S = stft_matmul_tables(nwins, nfreq, win_key)
+    return jax.device_put(C), jax.device_put(S)
+
+
+def _accum_kernel(y_ref, x0r_ref, x0i_ref, wr_ref, wi_ref,
+                  pyy_ref, pxyr_ref, pxyi_ref):
+    """Grid (nc, nf, nb); accumulates over the b (segment-block) dimension."""
+    b = pl.program_id(2)
+
+    y = y_ref[0]                       # (Bt, nwins)
+    wr = wr_ref[...]                   # (nwins, Ft)
+    wi = wi_ref[...]
+    yr = jnp.dot(y, wr, precision=jax.lax.Precision.HIGHEST,
+                 preferred_element_type=jnp.float32)
+    yi = jnp.dot(y, wi, precision=jax.lax.Precision.HIGHEST,
+                 preferred_element_type=jnp.float32)
+
+    x0r = x0r_ref[...]                 # (Bt, Ft)
+    x0i = x0i_ref[...]
+
+    ft = yr.shape[-1]
+    pyy = jnp.sum(yr * yr + yi * yi, axis=0).reshape(1, 1, ft)
+    pxyr = jnp.sum(yr * x0r + yi * x0i, axis=0).reshape(1, 1, ft)
+    pxyi = jnp.sum(yi * x0r - yr * x0i, axis=0).reshape(1, 1, ft)
+
+    @pl.when(b == 0)
+    def _init():
+        pyy_ref[...] = pyy
+        pxyr_ref[...] = pxyr
+        pxyi_ref[...] = pxyi
+
+    @pl.when(b != 0)
+    def _accum():
+        pyy_ref[...] += pyy
+        pxyr_ref[...] += pxyr
+        pxyi_ref[...] += pxyi
+
+
+@partial(jax.jit, static_argnames=("seg_tile", "freq_tile", "interpret"))
+def _welch_power_call(yfr, x0r, x0i, Wr, Wi, *, seg_tile, freq_tile,
+                      interpret):
+    nch, B, nwins = yfr.shape
+    nfreq = Wr.shape[1]
+    nb = B // seg_tile
+    nf = nfreq // freq_tile
+
+    grid = (nch, nf, nb)
+    # outputs are (nch, 1, nfreq): the trailing (1, freq_tile) block then
+    # satisfies the TPU (sublane, lane) tiling rule via dim-equality
+    out_shape = [jax.ShapeDtypeStruct((nch, 1, nfreq), jnp.float32)] * 3
+
+    flops = 4 * nch * B * nwins * nfreq + 8 * nch * B * nfreq
+    bytes_accessed = (yfr.size + x0r.size * 2 * nf
+                      + (Wr.size + Wi.size) * nch * nb + 3 * nch * nfreq) * 4
+
+    pyy, pxyr, pxyi = pl.pallas_call(
+        _accum_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, seg_tile, nwins), lambda c, f, b: (c, b, 0)),
+            pl.BlockSpec((seg_tile, freq_tile), lambda c, f, b: (b, f)),
+            pl.BlockSpec((seg_tile, freq_tile), lambda c, f, b: (b, f)),
+            pl.BlockSpec((nwins, freq_tile), lambda c, f, b: (0, f)),
+            pl.BlockSpec((nwins, freq_tile), lambda c, f, b: (0, f)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, freq_tile), lambda c, f, b: (c, 0, f)),
+            pl.BlockSpec((1, 1, freq_tile), lambda c, f, b: (c, 0, f)),
+            pl.BlockSpec((1, 1, freq_tile), lambda c, f, b: (c, 0, f)),
+        ],
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=bytes_accessed,
+                                      transcendentals=0),
+        interpret=interpret,
+    )(yfr, x0r, x0i, Wr, Wi)
+    return pyy[:, 0], pxyr[:, 0], pxyi[:, 0]
+
+
+def welch_power_pallas(xfr, yfr, win, nfreq, *, seg_tile=128, freq_tile=256,
+                       interpret=None):
+    """Accumulated one-sided Welch cross-powers from framed signals.
+
+    ``xfr (B, nwins)``, ``yfr (nch, B, nwins)`` — un-windowed frames; the
+    window is folded into the DFT tables.  Returns segment-***summed***
+    ``(Pxx (nfreq,), Pyy (nch,nfreq), Pxy_re, Pxy_im)`` — the caller divides
+    by ``navr`` and applies the one-sided/normalization scales.
+
+    Frames are zero-padded to tile multiples (zero segments contribute
+    nothing to the sums, so padding is exact).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    xfr = jnp.asarray(xfr, jnp.float32)
+    yfr = jnp.asarray(yfr, jnp.float32)
+    B, nwins = xfr.shape
+    nch = yfr.shape[0]
+
+    tiles = _choose_tiles(nwins, nfreq, B, seg_tile, freq_tile)
+    if tiles is None:
+        raise ValueError(
+            f"pallas welch kernel: nwins={nwins} segment blocks do not fit "
+            f"in VMEM; use the 'mxu' backend for very long segments")
+    seg_tile, freq_tile = tiles
+    nfreq_p = _round_up(nfreq, freq_tile)
+    B_p = _round_up(B, seg_tile)
+
+    win_key = tuple(np.asarray(win, dtype=np.float64).tolist())
+    Wr, Wi = _device_tables(nwins, nfreq_p, win_key)
+
+    if B_p != B:
+        pad = [(0, B_p - B), (0, 0)]
+        xfr = jnp.pad(xfr, pad)
+        yfr = jnp.pad(yfr, [(0, 0)] + pad)
+
+    # stage 1: reference-channel STFT (one dense matmul, XLA)
+    x0r = jnp.dot(xfr, Wr, precision=jax.lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32)
+    x0i = jnp.dot(xfr, Wi, precision=jax.lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32)
+    Pxx = jnp.sum(x0r * x0r + x0i * x0i, axis=0)
+
+    # stage 2: fused per-channel cross-power accumulation (Pallas)
+    Pyy, Pxy_re, Pxy_im = _welch_power_call(
+        yfr, x0r, x0i, Wr, Wi, seg_tile=seg_tile, freq_tile=freq_tile,
+        interpret=bool(interpret))
+
+    return (Pxx[:nfreq], Pyy[:, :nfreq], Pxy_re[:, :nfreq],
+            Pxy_im[:, :nfreq])

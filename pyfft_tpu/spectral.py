@@ -64,8 +64,13 @@ def backend_supports_complex() -> bool:
 
 
 def resolve_fft_backend(fft_backend=None) -> str:
-    """Resolve 'auto'/None to a concrete transform path ('xla' or 'mxu')."""
-    if fft_backend in ("xla", "mxu"):
+    """Resolve 'auto'/None to a concrete transform path.
+
+    'xla' = complex ``jnp.fft`` (CPU/GPU); 'mxu' = real-pair matmul DFTs
+    (TPU default); 'pallas' = fused accumulate kernel fast path (one-sided
+    real-input Welch; falls back to 'mxu' where inapplicable).
+    """
+    if fft_backend in ("xla", "mxu", "pallas"):
         return fft_backend
     return "xla" if backend_supports_complex() else "mxu"
 
@@ -296,6 +301,39 @@ def _welch_core_mxu(xr, xi, yr, yi, win, s1sq_enbw, *, navr, nwins, noverlap,
                 Pxy_im=jnp.mean(Pxy_im, axis=1).T * norm)
 
 
+@partial(jax.jit, static_argnames=("navr", "nwins", "noverlap",
+                                   "detrend_style"))
+def _detrend_and_frame(xr, yr, *, navr, nwins, noverlap, detrend_style):
+    det = detrend_func(detrend_style)
+    hop = nwins - noverlap
+    return (seg.frame_signal(det(xr, axis=-1), nwins, hop, navr),
+            seg.frame_signal(det(yr, axis=-1), nwins, hop, navr))
+
+
+def _welch_core_pallas(xr, yr, win_np, s1sq_enbw, *, navr, nwins, noverlap,
+                       nfft, nnyquist, detrend_style):
+    """Fused-kernel Welch path (one-sided, real inputs).
+
+    Uses :func:`pyfft_tpu.ops.pallas_welch.welch_power_pallas`: the
+    (navr, nfreq) STFT never hits HBM; per-segment arrays are not produced
+    (the price of the fast path).  The window is folded into the kernel's
+    DFT tables host-side, so it arrives as a concrete array.
+    """
+    from .ops.pallas_welch import welch_power_pallas
+
+    xfr, yfr = _detrend_and_frame(xr, yr, navr=navr, nwins=nwins,
+                                  noverlap=noverlap,
+                                  detrend_style=detrend_style)
+    Pxx, Pyy, Pxy_re, Pxy_im = welch_power_pallas(xfr, yfr, win_np, nnyquist)
+    scale = _onesided_power_scale(nfft, nnyquist)
+    norm = (scale / (s1sq_enbw * navr)).astype(np.float32)
+    Pxx = np.asarray(Pxx) * norm
+    Pyy = (np.asarray(Pyy) * norm).T
+    Pxy_re = (np.asarray(Pxy_re) * norm).T
+    Pxy_im = (np.asarray(Pxy_im) * norm).T
+    return dict(Pxx=Pxx, Pyy=Pyy, Pxy_re=Pxy_re, Pxy_im=Pxy_im)
+
+
 def _split_pair(a):
     """Host-side complex -> (re, im | None) split for the MXU path."""
     a = np.asarray(a)
@@ -307,6 +345,31 @@ def _split_pair(a):
 
 def _run_welch_core(x_in, y_in, win, s1sq_enbw, *, backend, **static):
     """Dispatch to a transform path; returns numpy-complex segment results."""
+    if backend == "pallas":
+        x_np = np.asarray(x_in)
+        y_np = np.asarray(y_in)
+        from .ops.pallas_welch import pallas_welch_applicable
+        applicable = (static["onesided"] and not static["ntmodel"]
+                      and not np.iscomplexobj(x_np)
+                      and not np.iscomplexobj(y_np)
+                      and pallas_welch_applicable(static["nwins"],
+                                                  static["nnyquist"],
+                                                  static["navr"]))
+        if applicable:
+            out = _welch_core_pallas(
+                jnp.asarray(x_np, jnp.float32),
+                jnp.asarray(y_np.T, jnp.float32), np.asarray(win),
+                s1sq_enbw, navr=static["navr"], nwins=static["nwins"],
+                noverlap=static["noverlap"], nfft=static["nfft"],
+                nnyquist=static["nnyquist"],
+                detrend_style=static["detrend_style"])
+            return dict(
+                Pxx=out["Pxx"].astype(np.complex128),
+                Pyy=out["Pyy"].astype(np.complex128),
+                Pxy=out["Pxy_re"] + 1j * out["Pxy_im"],
+                Pxx_seg=None, Pyy_seg=None, Pxy_seg=None,
+                Xfft_seg=None, Yfft_seg=None)
+        backend = "mxu"
     if backend == "xla":
         out = _welch_core_xla(jnp.asarray(x_in), jnp.asarray(y_in.T),
                               jnp.asarray(win), jnp.asarray(s1sq_enbw),
@@ -604,8 +667,9 @@ def fft_pwelch(tvec, sigx, sigy, tbounds=None, Navr=None, windowoverlap=None,
         fftinfo.Pxy_seg = out["Pxy_seg"]
         fftinfo.Xfft_seg = out["Xfft_seg"]
         fftinfo.Yfft_seg = out["Yfft_seg"]
-        fftinfo.phixy_seg = np.angle(out["Pxy_seg"])
-        fftinfo.varphi_seg = np.zeros_like(fftinfo.phixy_seg)
+        if out["Pxy_seg"] is not None:
+            fftinfo.phixy_seg = np.angle(out["Pxy_seg"])
+            fftinfo.varphi_seg = np.zeros_like(fftinfo.phixy_seg)
 
     # ---------------- shared finalization (host, reference :489-648) -------
     Pxx = np.asarray(Pxx)
