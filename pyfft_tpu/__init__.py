@@ -63,6 +63,8 @@ from . import doppler
 from .doppler import cog, cogspec
 from . import pca
 from .pca import PCA, basic_pca
+from . import heatpulse
+from .heatpulse import HeatPulseFFT
 from . import dft as dft_mod
 from . import crosscheck
 from .crosscheck import coh, coh2, psd, csd, fft_pmlab
@@ -114,6 +116,8 @@ __all__ = [
     "pca",
     "PCA",
     "basic_pca",
+    "heatpulse",
+    "HeatPulseFFT",
     "crosscheck",
     "coh",
     "coh2",
