@@ -1,9 +1,12 @@
 """Multi-chip scaling layer: mesh construction, sharded Welch (SP/DP with
-ppermute halos + psum averaging), and time-sharded overlap-save FIR."""
+ppermute halos + psum averaging), time-sharded overlap-save FIR, and the
+distributed four-step FFT (TP with all-to-all transposes)."""
 
 from .mesh import make_mesh, shard_map, P, Mesh, NamedSharding
 from .welch import welch_psd_sharded, plan_shard_segments
 from .fir import fir_filter_sharded
+from .fft import fft_sharded, ifft_sharded, axis_swap, four_step_factor
 
 __all__ = ["make_mesh", "shard_map", "P", "Mesh", "NamedSharding",
-           "welch_psd_sharded", "plan_shard_segments", "fir_filter_sharded"]
+           "welch_psd_sharded", "plan_shard_segments", "fir_filter_sharded",
+           "fft_sharded", "ifft_sharded", "axis_swap", "four_step_factor"]
