@@ -65,6 +65,10 @@ from . import pca
 from .pca import PCA, basic_pca
 from . import heatpulse
 from .heatpulse import HeatPulseFFT
+from . import streaming
+from .streaming import StreamingWelch
+from . import config
+from .config import SpectralConfig, welch_psd
 from . import dft as dft_mod
 from . import crosscheck
 from .crosscheck import coh, coh2, psd, csd, fft_pmlab
@@ -118,6 +122,11 @@ __all__ = [
     "basic_pca",
     "heatpulse",
     "HeatPulseFFT",
+    "streaming",
+    "StreamingWelch",
+    "config",
+    "SpectralConfig",
+    "welch_psd",
     "crosscheck",
     "coh",
     "coh2",

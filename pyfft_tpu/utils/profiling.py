@@ -1,0 +1,161 @@
+"""Tracing / profiling / roofline accounting (SURVEY §5.1).
+
+The reference's only observability is ``verbose`` prints
+(fft_analysis.py:263-265) and an ASCII progress bar (spectrogram.py:82-97).
+This module provides the TPU-native replacements the survey specifies:
+
+- :func:`stage`: ``jax.named_scope`` + wall-clock context manager, so
+  pipeline stages show up named in XLA traces and in host logs;
+- :func:`trace`: one-call ``jax.profiler`` capture around a callable,
+  writing a TensorBoard-loadable trace directory;
+- FLOP/byte accounting for the framework's hot kernels
+  (:func:`fft_flops`, :func:`welch_flops`, :func:`fir_flops`) and
+  :func:`roofline` — achieved fraction of a device's peak given measured
+  wall time (the BASELINE "≥80% of roofline" metric);
+- :func:`measure`: robust wall-time of a jitted callable with compile-call
+  separation and device synchronization via a scalar checksum (the remote
+  TPU tunnel under-reports with ``block_until_ready`` alone).
+"""
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["stage", "trace", "fft_flops", "welch_flops", "fir_flops",
+           "roofline", "measure", "device_peaks"]
+
+
+_LOG = []
+
+
+@contextlib.contextmanager
+def stage(name, log=True):
+    """Named pipeline stage: shows up in XLA/profiler traces and records
+    host wall-clock into the module log (``profiling._LOG``)."""
+    t0 = time.perf_counter()
+    with jax.named_scope(name):
+        yield
+    dt = time.perf_counter() - t0
+    if log:
+        _LOG.append({"stage": name, "wall_s": dt})
+
+
+def stage_log():
+    """The accumulated [(stage, wall_s)] records (host-side, append-only)."""
+    return list(_LOG)
+
+
+@contextlib.contextmanager
+def trace(logdir):
+    """Capture a ``jax.profiler`` trace of the enclosed block."""
+    jax.profiler.start_trace(str(logdir))
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+# --------------------------------------------------------------------------- #
+# FLOP models (complex FFT: 5 N log2 N, the standard radix-2 count)
+# --------------------------------------------------------------------------- #
+
+def fft_flops(n, batch=1, real=False):
+    """FLOPs of one (batched) length-``n`` FFT; real transforms halve."""
+    f = 5.0 * n * np.log2(max(n, 2))
+    return batch * (f / 2.0 if real else f)
+
+
+def welch_flops(navr, nwins, nch=1):
+    """Welch chain: window multiply + rFFT + power + accumulate per segment
+    for the reference channel and ``nch`` signal channels."""
+    per_seg = (nwins                      # window multiply
+               + fft_flops(nwins, real=True)
+               + 4 * (nwins // 2 + 1))    # |X|^2 + cross-power terms
+    return navr * per_seg * (1 + nch)
+
+
+def fir_flops(nt, ntaps, nch=1, method="overlap-save"):
+    """FIR filtering cost: direct is 2*nt*ntaps; overlap-save is the
+    two-FFT-per-block form."""
+    if method == "direct":
+        return 2.0 * nt * ntaps * nch
+    nfft = 2 ** int(np.ceil(np.log2(4 * ntaps)))
+    hop = nfft - ntaps + 1
+    nblocks = int(np.ceil(nt / hop))
+    per_block = 2 * fft_flops(nfft) + 6 * nfft
+    return nblocks * per_block * nch
+
+
+_PEAKS = {
+    # (bf16 matmul TFLOP/s, f32 vector TFLOP/s, HBM GB/s) per chip
+    "v5e": (394.0, 0.9 * 197.0, 819.0),
+    "v5p": (459.0, 0.9 * 229.0, 2765.0),
+    "v4": (275.0, 0.9 * 137.0, 1228.0),
+    "cpu": (0.2, 0.1, 50.0),
+}
+
+
+def device_peaks(kind=None):
+    """(matmul TFLOP/s, vector TFLOP/s, HBM GB/s) for the current device."""
+    if kind is None:
+        dev = jax.devices()[0]
+        kind = getattr(dev, "device_kind", "cpu").lower()
+        for key in _PEAKS:
+            if key in kind:
+                kind = key
+                break
+        else:
+            kind = "cpu" if dev.platform == "cpu" else "v5e"
+    return _PEAKS[kind]
+
+
+def roofline(flops, bytes_moved, wall_s, kind=None, unit="matmul"):
+    """Achieved fraction of the device's compute/memory roofline.
+
+    Returns a dict with achieved TFLOP/s, GB/s, the bound ('compute' or
+    'memory') and ``fraction`` of the relevant peak — the BASELINE's
+    ≥0.8-of-roofline acceptance metric.
+    """
+    mm, vec, bw = device_peaks(kind)
+    peak = mm if unit == "matmul" else vec
+    tflops = flops / wall_s / 1e12
+    gbs = bytes_moved / wall_s / 1e9
+    # which wall is closer at this arithmetic intensity?
+    ai = flops / max(bytes_moved, 1)
+    knee = peak * 1e12 / (bw * 1e9)
+    bound = "compute" if ai >= knee else "memory"
+    frac = (tflops / peak) if bound == "compute" else (gbs / bw)
+    return {"achieved_tflops": tflops, "achieved_gbs": gbs,
+            "bound": bound, "fraction": frac,
+            "peak_tflops": peak, "peak_gbs": bw}
+
+
+def measure(fn, *args, iters=10, warmup=2):
+    """Wall-time a device callable; syncs through a scalar checksum."""
+    def run_once():
+        out = fn(*args)
+        leaves = jax.tree_util.tree_leaves(out)
+        chk = sum(jnp.sum(jnp.abs(x)) for x in leaves
+                  if hasattr(x, "dtype"))
+        return float(chk)
+
+    for _ in range(warmup):
+        run_once()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run_once()
+    return (time.perf_counter() - t0) / iters
+
+
+def report(entries, path=None):
+    """Write one-JSON-line perf records (samples/s, roofline fractions)."""
+    lines = [json.dumps(e) for e in entries]
+    if path is not None:
+        with open(path, "a") as f:
+            f.write("\n".join(lines) + "\n")
+    return lines
