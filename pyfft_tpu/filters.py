@@ -492,10 +492,20 @@ def oaconvolve(x, taps, mode="full", nfft=None):
     raise ValueError(f"unknown mode {mode!r}")
 
 
-def fir_filter(x, taps, axis=-1):
-    """Causal FIR filtering (overlap-save, 'same' alignment as lfilter)."""
+def fir_filter(x, taps, axis=-1, backend=None):
+    """Causal FIR filtering ('same' alignment as lfilter).
+
+    ``backend``: 'os' (overlap-save, default) or 'pallas' (single-pass
+    fused kernel, taps <= 256; see :mod:`pyfft_tpu.ops.pallas_fir`).
+    """
     x = np.moveaxis(np.asarray(x), axis, -1)
-    y = oaconvolve(x, taps, mode="full")[..., :x.shape[-1]]
+    if backend == "pallas":
+        from .ops.pallas_fir import fir_pallas
+        lead = x.shape[:-1]
+        y = np.asarray(fir_pallas(x.reshape(-1, x.shape[-1]), taps))
+        y = y.reshape(lead + (x.shape[-1],)).astype(x.dtype, copy=False)
+    else:
+        y = oaconvolve(x, taps, mode="full")[..., :x.shape[-1]]
     return np.moveaxis(y, -1, axis)
 
 

@@ -1,0 +1,38 @@
+"""Pallas streaming FIR kernel: parity vs numpy.convolve (interpret mode)."""
+import numpy as np
+import pytest
+
+from pyfft_tpu.ops.pallas_fir import fir_pallas, PALLAS_FIR_MAX_TAPS
+from pyfft_tpu import filters as flt
+
+
+@pytest.mark.parametrize("ntaps", [7, 33, 129])
+@pytest.mark.parametrize("nch,nt", [(1, 5000), (3, 4096), (9, 2048 * 3 + 17)])
+def test_matches_numpy_convolve(ntaps, nch, nt):
+    rng = np.random.default_rng(ntaps + nch)
+    x = rng.standard_normal((nch, nt)).astype(np.float32)
+    taps = flt.firwin(ntaps, 0.3).astype(np.float32)
+    got = np.asarray(fir_pallas(x, taps))
+    want = np.stack([np.convolve(x[c], taps, mode="full")[:nt]
+                     for c in range(nch)])
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_1d_and_fir_filter_backend():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(3000).astype(np.float32)
+    taps = flt.firwin(65, [0.1, 0.4], pass_zero=False)
+    got = np.asarray(fir_pallas(x, taps))
+    assert got.shape == (3000,)
+    want = np.convolve(x, taps, mode="full")[:3000]
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    via_filter = flt.fir_filter(x, taps, backend="pallas")
+    np.testing.assert_allclose(via_filter, got, rtol=1e-6, atol=1e-6)
+    via_os = flt.fir_filter(x, taps)
+    np.testing.assert_allclose(via_filter, via_os, rtol=2e-4, atol=2e-4)
+
+
+def test_too_many_taps_raises():
+    with pytest.raises(ValueError, match="overlap-save"):
+        fir_pallas(np.zeros(100), np.zeros(PALLAS_FIR_MAX_TAPS + 1))
