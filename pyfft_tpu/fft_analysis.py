@@ -27,3 +27,7 @@ from .utils.detrend import (detrend_mean, detrend_none,  # noqa: F401
 
 # window dispatcher (reference :26-30)
 from .windows import windows  # noqa: F401
+
+# executable examples / demo tests (reference :2895-3109)
+from .examples import (test_fftpwelch, test_fftanal,  # noqa: F401
+                       create_turb_spectra, testFFTanal, test)

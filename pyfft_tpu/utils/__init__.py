@@ -2,6 +2,8 @@
 
 from .structure import Struct
 from .detrend import detrend_none, detrend_mean, detrend_linear, detrend_func
+from . import profiling
+from . import sanity
 from .interp import (
     interp,
     trapz_var,
@@ -12,6 +14,8 @@ from .interp import (
 )
 
 __all__ = [
+    "profiling",
+    "sanity",
     "Struct",
     "detrend_none",
     "detrend_mean",
