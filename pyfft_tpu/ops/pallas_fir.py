@@ -1,26 +1,28 @@
-"""Pallas TPU kernel: single-pass streaming FIR convolution.
+"""Pallas TPU kernel: single-pass streaming FIR convolution (MXU matmul).
 
 Role of the reference's filtering hot path (``scipy.signal.filtfilt`` /
 ``np.convolve`` inside ``filters.py:36-123`` and ``smooth`` :226) — SURVEY
 §7.5's second Pallas primitive.
 
-Design: causal direct convolution ``y[n] = sum_k h[k] x[n-k]`` evaluated
-as ``ntaps`` unrolled vector FMAs over *static lane slices* of a
-VMEM-resident window.  Channels ride the sublane axis (blocks of 8
-channels x ``block_t`` lanes), so each FMA is a full (8, block_t) VPU op.
-The inter-block halo (``ntaps - 1`` samples) is satisfied by reading the
-*next* time block of the same input with a second BlockSpec — no separate
-halo exchange, no intermediate arrays: HBM traffic is exactly one read of
-``x`` and one write of ``y``.
+Design: causal FIR as a *banded-Toeplitz matmul* per time block.  For an
+output block ``y[b*T : (b+1)*T]`` the kernel reads the input window
+``w = xp[b*T : b*T + T + K - 1]`` (current block plus the head of the next
+— delivered by a second, offset BlockSpec on the same array: no separate
+halo pass) and computes
 
-Memory-bound for small tap counts (the common 2nd-4th-order-equivalent
-designs); for ``ntaps`` beyond ~256 the FFT overlap-save path
-(``filters.oaconvolve``) has the better FLOP profile and remains the
-default there.
+    y_block = w @ B,     B[i, j] = h_rev[i - j]   (banded, (T+K-1, T))
+
+one dense MXU contraction per block; channels ride the sublane axis in
+groups of 8.  HBM traffic is one read of ``x`` and one write of ``y``; the
+band matrix is a small constant resident in VMEM.  Compared with the
+FFT overlap-save path this spends ~``T/K``x more MXU FLOPs to stay
+single-pass and fusion-free — a win whenever the chain is memory-bound
+(K <= ~256), which is the regime of every filter the reference designs
+(2nd-4th order Butterworth equivalents, notch biquads, smoothing kernels).
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -33,20 +35,28 @@ __all__ = ["fir_pallas", "PALLAS_FIR_MAX_TAPS"]
 PALLAS_FIR_MAX_TAPS = 256
 
 
-def _fir_kernel(cur_ref, nxt_ref, h_ref, out_ref, *, ntaps, block_t):
+@lru_cache(maxsize=8)
+def _band_matrix(taps_key, block_t, dtype=np.float32):
+    """Banded Toeplitz ``B[i, j] = h_rev[i - j]`` (device-resident)."""
+    h_rev = np.asarray(taps_key, dtype=np.float64)[::-1]
+    ntaps = h_rev.size
+    B = np.zeros((block_t + ntaps - 1, block_t), dtype=dtype)
+    for j in range(block_t):
+        B[j:j + ntaps, j] = h_rev
+    return jax.device_put(B)
+
+
+def _fir_kernel(cur_ref, nxt_ref, band_ref, out_ref, *, ntaps, block_t):
     """One (8, block_t) output tile: window = cur ++ head(next)."""
-    cur = cur_ref[...]                       # (8, block_t)
-    nxt = nxt_ref[...]
-    win = jnp.concatenate([cur, nxt[:, :ntaps - 1]], axis=1)
-    h = h_ref[...]                           # (1, ntaps) reversed taps
-    acc = win[:, 0:block_t] * h[0, 0]
-    for j in range(1, ntaps):                # unrolled static lane slices
-        acc = acc + win[:, j:j + block_t] * h[0, j]
-    out_ref[...] = acc
+    win = jnp.concatenate(
+        [cur_ref[...], nxt_ref[:, :ntaps - 1]], axis=1)  # (8, T+K-1)
+    out_ref[...] = jnp.dot(win, band_ref[...],
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("ntaps", "block_t", "interpret"))
-def _fir_call(xp, h_rev, *, ntaps, block_t, interpret):
+def _fir_call(xp, band, *, ntaps, block_t, interpret):
     ncb, L = xp.shape[0] // 8, xp.shape[1]
     nb = L // block_t - 1                    # last block is the zero tail
     grid = (ncb, nb)
@@ -57,19 +67,20 @@ def _fir_call(xp, h_rev, *, ntaps, block_t, interpret):
         in_specs=[
             pl.BlockSpec((8, block_t), lambda c, b: (c, b)),
             pl.BlockSpec((8, block_t), lambda c, b: (c, b + 1)),
-            pl.BlockSpec((1, ntaps), lambda c, b: (0, 0)),
+            pl.BlockSpec(band.shape, lambda c, b: (0, 0)),
         ],
         out_specs=pl.BlockSpec((8, block_t), lambda c, b: (c, b)),
         out_shape=jax.ShapeDtypeStruct((ncb * 8, nb * block_t), xp.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * ncb * 8 * nb * block_t * ntaps,
-            bytes_accessed=4 * (xp.size + ncb * 8 * nb * block_t),
+            flops=2 * ncb * 8 * nb * (block_t + ntaps - 1) * block_t,
+            bytes_accessed=4 * (xp.size + ncb * 8 * nb * block_t
+                                + band.size),
             transcendentals=0),
         interpret=interpret,
-    )(xp, xp, h_rev)
+    )(xp, xp, band)
 
 
-def fir_pallas(x, taps, block_t=2048, interpret=None):
+def fir_pallas(x, taps, block_t=512, interpret=None):
     """Causal FIR filter of ``x (nch, nt)`` (or ``(nt,)``) with ``taps``.
 
     Matches ``np.convolve(x, taps, mode='full')[:nt]`` per channel (the
@@ -91,7 +102,7 @@ def fir_pallas(x, taps, block_t=2048, interpret=None):
         x = x[None, :]
     nch, nt = x.shape
 
-    block_t = min(block_t, max(512, ntaps))
+    block_t = max(128, min(block_t, 1024))
     nb = -(-nt // block_t)                       # ceil
     L = (nb + 1) * block_t                       # + zero tail block
     ncb = -(-nch // 8)
@@ -99,8 +110,8 @@ def fir_pallas(x, taps, block_t=2048, interpret=None):
     xp = jnp.zeros((ncb * 8, L), jnp.float32)
     xp = xp.at[:nch, ntaps - 1:ntaps - 1 + nt].set(x)
 
-    h_rev = jnp.asarray(taps[::-1].copy(), jnp.float32).reshape(1, ntaps)
-    y = _fir_call(xp, h_rev, ntaps=ntaps, block_t=block_t,
+    band = _band_matrix(tuple(taps.tolist()), block_t)
+    y = _fir_call(xp, band, ntaps=ntaps, block_t=block_t,
                   interpret=bool(interpret))
     y = y[:nch, :nt]
     return y[0] if squeeze else y
