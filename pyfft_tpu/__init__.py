@@ -67,6 +67,8 @@ from . import heatpulse
 from .heatpulse import HeatPulseFFT
 from . import streaming
 from .streaming import StreamingWelch
+from . import io
+from .io import ShotLoader
 from . import config
 from .config import SpectralConfig, welch_psd
 from . import dft as dft_mod
@@ -124,6 +126,8 @@ __all__ = [
     "HeatPulseFFT",
     "streaming",
     "StreamingWelch",
+    "io",
+    "ShotLoader",
     "config",
     "SpectralConfig",
     "welch_psd",
