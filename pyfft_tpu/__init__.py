@@ -69,6 +69,8 @@ from . import streaming
 from .streaming import StreamingWelch
 from . import io
 from .io import ShotLoader
+from . import multitaper
+from .multitaper import multitaper_psd, multitaper_csd
 from . import config
 from .config import SpectralConfig, welch_psd
 from . import dft as dft_mod
@@ -128,6 +130,9 @@ __all__ = [
     "StreamingWelch",
     "io",
     "ShotLoader",
+    "multitaper",
+    "multitaper_psd",
+    "multitaper_csd",
     "config",
     "SpectralConfig",
     "welch_psd",

@@ -7,19 +7,27 @@ import time
 import numpy as np
 
 
-def wait_for_tpu(max_wait_s=7200, poll_s=120):
-    import jax
-    import jax.numpy as jnp
+def wait_for_tpu(max_wait_s=7200, poll_s=60):
+    """Probe with short-lived subprocesses: a wedged tunnel blocks inside
+    the first device call forever, so the probe must be killable without
+    taking this process down."""
+    import subprocess
+    probe = ("import jax, jax.numpy as jnp;"
+             "print(float((jnp.ones((64,64))@jnp.ones((64,64))).sum()))")
     t0 = time.time()
     while time.time() - t0 < max_wait_s:
         try:
-            x = jnp.ones((64, 64))
-            float((x @ x).sum())
-            print("TPU ready after %.0fs" % (time.time() - t0), flush=True)
-            return True
-        except Exception as e:  # pragma: no cover
-            print("TPU not ready: %s" % str(e)[:100], flush=True)
-            time.sleep(poll_s)
+            r = subprocess.run([sys.executable, "-c", probe], timeout=90,
+                               capture_output=True, text=True)
+            if r.returncode == 0 and "4096" in r.stdout:
+                print("TPU ready after %.0fs" % (time.time() - t0),
+                      flush=True)
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print("TPU not ready (%.0fs elapsed)" % (time.time() - t0),
+              flush=True)
+        time.sleep(poll_s)
     return False
 
 
