@@ -71,6 +71,9 @@ from . import io
 from .io import ShotLoader
 from . import multitaper
 from .multitaper import multitaper_psd, multitaper_csd
+from . import wavelet
+# the reference's optional pycwt slot (reference __init__.py:38-42)
+pycwt = wavelet
 from . import config
 from .config import SpectralConfig, welch_psd
 from . import dft as dft_mod
@@ -133,6 +136,8 @@ __all__ = [
     "multitaper",
     "multitaper_psd",
     "multitaper_csd",
+    "wavelet",
+    "pycwt",
     "config",
     "SpectralConfig",
     "welch_psd",
