@@ -596,3 +596,10 @@ class fftanal(Struct):
             _ax = plt.gca()
         _ax.plot(1e-3 * np.asarray(self.freq), np.asarray(self.phi_xy), "k-")
         return _ax
+
+    def __testFFTanal__(self):
+        """Dual-implementation cross-validation (reference ``:2817-2881``):
+        run the TPU pipeline and the independent NumPy/mlab oracle on the
+        reference's test signals; returns the two result tuples."""
+        from .examples import testFFTanal
+        return testFFTanal(plotit=bool(getattr(self, "plotit", False)))

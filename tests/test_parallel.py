@@ -121,3 +121,21 @@ def test_shard_errors():
         par.plan_shard_segments(4096, plan.nwins, plan.hop, plan.navr, 8)
     with pytest.raises(ValueError, match="divisible"):
         par.plan_shard_segments(4095, 16, 8, 10, 8)
+
+
+def test_host_mesh_and_report():
+    import jax
+    from pyfft_tpu.parallel.runtime import (init_distributed,
+                                            make_host_mesh, scaling_report)
+
+    init_distributed()          # single-process no-op
+    n = len(jax.devices())
+    mesh = make_host_mesh(ch=2, t=n // 2)
+    assert dict(mesh.shape) == {"host": 1, "ch": 2, "t": n // 2}
+    rep = scaling_report(mesh)
+    assert rep["devices"] == n
+    assert "ICI" in rep["collectives"]["psum(welch average)"]
+
+    import pytest
+    with pytest.raises(ValueError):
+        make_host_mesh(ch=3, t=n)
