@@ -159,3 +159,41 @@ def fftcorr(x, y):
     X = transform.fft(np.asarray(x, dtype=complex))
     Y = transform.fft(np.asarray(y, dtype=complex))
     return list(transform.ifft(np.conj(X) * Y))
+
+
+def ccf_test(plotit=False, seed=0):
+    """Known 50-degree phase lag (reference ``ccf_test``, ccf.py:139-156):
+    the cross-covariance peak must sit at t = -phi/(2 pi f).  Returns
+    ``(tau, co, expected_lag_s)``."""
+    rng = np.random.default_rng(seed)
+    fs, N, f = 1e5, 2048, 1e3
+    phi = 50 * np.pi / 180
+    t = np.arange(0, N) / fs
+    x1 = np.sin(2 * np.pi * f * t) + rng.normal(0, 1, N)
+    x2 = np.sin(2 * np.pi * f * t + phi) + rng.normal(0, 1, N)
+    tau, co = ccf(x1, x2, fs)
+    expected = -phi / (2 * np.pi * f)
+    if plotit:  # pragma: no cover
+        import matplotlib.pyplot as plt
+        plt.figure("ccf_test")
+        plt.plot(np.asarray(tau) * 1e6, co)
+        plt.axvline(expected * 1e6, color="k")
+    return tau, co, expected
+
+
+def ccf_sh_test(plotit=False, seed=0):
+    """Sliding-window averaged variant (reference ``ccf_sh_test``,
+    ccf.py:158-175)."""
+    rng = np.random.default_rng(seed)
+    fs, N, f = 1e5, 2048, 1e3
+    phi = 50 * np.pi / 180
+    t = np.arange(0, N) / fs
+    x1 = np.sin(2 * np.pi * f * t) + rng.normal(0, 1, N)
+    x2 = np.sin(2 * np.pi * f * t + phi) + rng.normal(0, 1, N)
+    tau, co = ccf_sh(x1, x2, fs, nav=64)
+    expected = -phi / (2 * np.pi * f)
+    if plotit:  # pragma: no cover
+        import matplotlib.pyplot as plt
+        plt.figure("ccf_sh_test")
+        plt.plot(np.asarray(tau) * 1e6, co)
+    return tau, co, expected

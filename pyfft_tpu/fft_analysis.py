@@ -30,4 +30,5 @@ from .windows import windows  # noqa: F401
 
 # executable examples / demo tests (reference :2895-3109)
 from .examples import (test_fftpwelch, test_fftanal,  # noqa: F401
-                       create_turb_spectra, testFFTanal, test)
+                       create_turb_spectra, testFFTanal, test,
+                       test_fft_deriv)

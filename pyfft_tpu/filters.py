@@ -527,3 +527,24 @@ def fir_filtfilt(x, taps, axis=-1):
     delay = (ntaps - 1) // 2
     y = y[..., pad + delay:pad + delay + x.shape[-1]]
     return np.moveaxis(y, -1, axis)
+
+
+def smooth_demo(plotit=False):
+    """Window-comparison demo for :func:`smooth` (reference ``smooth_demo``,
+    filters.py:287-320).  Returns ``{window_name: smoothed}``."""
+    rng = np.random.default_rng(0)
+    t = np.linspace(-4, 4, 100)
+    x = np.sin(t)
+    xn = x + rng.standard_normal(len(t)) * 0.1
+    ws = 31
+    names = ["flat", "hanning", "hamming", "bartlett", "blackman"]
+    out = {w: np.asarray(smooth(xn, ws, w)) for w in names}
+    if plotit:  # pragma: no cover
+        import matplotlib.pyplot as plt
+        plt.figure("smooth_demo")
+        plt.plot(x, "k-", label="signal")
+        plt.plot(xn, ".", label="noisy")
+        for w, y in out.items():
+            plt.plot(y, label=w)
+        plt.legend()
+    return out

@@ -94,3 +94,28 @@ def hilbert_1d(uin, nfft=None):
     if nfft is None:
         nfft = len(uin)
     return hilbert(uin, nfft=nfft, axes=-1)
+
+
+def test_hilbert(plotit=False):
+    """The reference's strongest oracle (hilbert.py:115-179): the analytic
+    signal of sin must have imaginary part -cos (and agree with the
+    scipy.fftpack.hilbert convention).  Raises on disagreement; returns
+    the analytic signal."""
+    t = np.linspace(0, 2 * np.pi, 1024, endpoint=False)
+    x = np.sin(t)
+    z = np.asarray(hilbert(x))
+    want_imag = -np.cos(t)
+    if not np.allclose(np.imag(z), want_imag, atol=1e-6):
+        raise AssertionError("hilbert(sin) imaginary part != -cos")
+    try:
+        from scipy.fftpack import hilbert as sp_hilbert
+        if not np.allclose(-sp_hilbert(x), np.imag(z), atol=1e-6):
+            raise AssertionError("disagrees with scipy.fftpack.hilbert")
+    except ImportError:  # pragma: no cover
+        pass
+    if plotit:  # pragma: no cover
+        import matplotlib.pyplot as plt
+        plt.figure("test_hilbert")
+        plt.plot(t, x, t, np.imag(z), t, np.abs(z))
+        plt.legend(["sin", "H(sin)", "envelope"])
+    return z

@@ -58,3 +58,24 @@ def laplace_1d(uin, real_sigma_interval=None, nfft=None):
     return transform.rfft(weighted.astype(np.result_type(x, np.float32)
                                           if x.dtype != np.float64
                                           else np.float64), axis=-1)
+
+
+def test_laplace(plotit=False):
+    """s-plane scan demo (reference ``test_laplace``, laplace.py:116-201):
+    a damped sine scanned over a grid of real parts; the pole row shows the
+    sharpest spectral line.  Returns ``(sigma, freq_bins, LP)``."""
+    fs, n = 1000.0, 1024
+    t = np.arange(n) / fs
+    d, f0 = 60.0, 120.0
+    x = np.exp(-d * t) * np.sin(2 * np.pi * f0 * t)
+    sigma = np.arange(-0.2, 0.2, 0.005)
+    LP = laplace_1d(x, real_sigma_interval=sigma)
+    freq = fs * np.arange(LP.shape[1]) / n
+    if plotit:  # pragma: no cover
+        import matplotlib.pyplot as plt
+        plt.figure("test_laplace")
+        plt.pcolormesh(freq, sigma, np.log10(np.abs(LP) + 1e-12),
+                       shading="auto")
+        plt.xlabel("freq [Hz]")
+        plt.ylabel("sigma")
+    return sigma, freq, LP

@@ -197,3 +197,29 @@ class STFT:
     def time_axis(self):
         return np.arange(self.total_segments) / np.float32(self.total_segments) \
             * self.t_max
+
+
+def test_stft(windowfunction=None, npts=2e3, Nper=21, plotit=False):
+    """Chirp STFT demo (reference ``test_stft``, spectrogram.py:250-283).
+
+    Returns the ``fftanal`` instance holding the spectrogram."""
+    tt, y_in = test_case(case=3, npts=npts)
+    if windowfunction is None:
+        windowfunction = "None"            # reference default: no window
+    tper = (tt[-1] - tt[0]) / Nper
+    out = stft(tt, y_in, tper=tper, windowfunction=windowfunction,
+               plotit=plotit, verbose=False)
+    return out
+
+
+def test_specgram(windowfunction="hanning", npts=2e3, Nper=21, plotit=False):
+    """Chirp spectrogram demo (reference ``test_specgram``, :205-247)."""
+    tt, y_in = test_case(case=3, npts=npts)
+    wl = int(len(y_in) // Nper)
+    res = specgram(tt, y_in, wl)
+    if plotit:  # pragma: no cover
+        import matplotlib.pyplot as plt
+        tspec, fAxis, S = res
+        plt.figure("test_specgram")
+        plt.pcolormesh(tspec, fAxis, np.abs(np.asarray(S)), shading="auto")
+    return res
