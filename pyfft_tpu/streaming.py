@@ -76,8 +76,32 @@ def _block_sums(x, y, win, *, navr, nwins, hop, nnyquist, backend):
     return Sxx, Syy, Sxy_re, Sxy_im, Ax[0], Ax[1], Ay[0], Ay[1]
 
 
+@partial(jax.jit, static_argnames=("navr", "nwins", "hop", "backend"))
+def _block_sums2(xr, xi, yr, yi, win, *, navr, nwins, hop, backend):
+    """Two-sided variant on complex inputs carried as (re, im) pairs."""
+    fxr = seg.frame_signal(xr, nwins, hop, navr) * win
+    fxi = seg.frame_signal(xi, nwins, hop, navr) * win
+    fyr = seg.frame_signal(yr, nwins, hop, navr) * win
+    fyi = seg.frame_signal(yi, nwins, hop, navr) * win
+    if backend == "xla":
+        X = jnp.fft.fft(jax.lax.complex(fxr, fxi), axis=-1)
+        Y = jnp.fft.fft(jax.lax.complex(fyr, fyi), axis=-1)
+        Xr, Xi = jnp.real(X), jnp.imag(X)
+        Yr, Yi = jnp.real(Y), jnp.imag(Y)
+    else:
+        Xr, Xi = mxu_fft.fft_pair(fxr, fxi)
+        Yr, Yi = mxu_fft.fft_pair(fyr, fyi)
+    Sxx = jnp.sum(Xr * Xr + Xi * Xi, axis=-2)
+    Syy = jnp.sum(Yr * Yr + Yi * Yi, axis=-2)
+    Sxy_re = jnp.sum(Yr * Xr + Yi * Xi, axis=-2)
+    Sxy_im = jnp.sum(Yi * Xr - Yr * Xi, axis=-2)
+    return (Sxx, Syy, Sxy_re, Sxy_im,
+            jnp.sum(Xr, axis=-2), jnp.sum(Xi, axis=-2),
+            jnp.sum(Yr, axis=-2), jnp.sum(Yi, axis=-2))
+
+
 class StreamingWelch:
-    """Streaming one-sided Welch cross-spectral accumulator.
+    """Streaming one- or two-sided Welch cross-spectral accumulator.
 
     >>> sw = StreamingWelch(nwins=1024, fs=1e4, nch=4)
     >>> for xb, yb in blocks:      # arbitrary block sizes
@@ -90,7 +114,8 @@ class StreamingWelch:
     """
 
     def __init__(self, nwins, fs=1.0, nch=1, windowoverlap=None,
-                 windowfunction="hanning", detrend="mean", fft_backend=None):
+                 windowfunction="hanning", detrend="mean", fft_backend=None,
+                 onesided=True):
         if detrend not in ("mean", "none"):
             raise ValueError(
                 "streaming supports detrend 'mean' or 'none' (global linear "
@@ -112,30 +137,38 @@ class StreamingWelch:
         self.backend = resolve_fft_backend(fft_backend)
         if self.backend == "pallas":
             self.backend = "mxu"
+        self.onesided = bool(onesided)
 
-        nf, nc = self.nnyquist, self.nch
+        nf = self.nnyquist if self.onesided else self.nwins
+        nc = self.nch
+        self.nfreq = nf
         self.navr = 0
         self.nseen = 0                       # total samples consumed
-        self.sum_x = 0.0                     # running means (for detrend)
-        self.sum_y = np.zeros(nc)
+        dt = float if self.onesided else complex
+        self.sum_x = dt(0.0)                 # running means (for detrend)
+        self.sum_y = np.zeros(nc, dtype=dt)
         self.Sxx = np.zeros(nf)
         self.Syy = np.zeros((nc, nf))
         self.Sxy = np.zeros((nc, nf), dtype=complex)
         self.Ax = np.zeros(nf, dtype=complex)
         self.Ay = np.zeros((nc, nf), dtype=complex)
-        self._carry_x = np.zeros(0)
-        self._carry_y = np.zeros((nc, 0))
+        self._carry_x = np.zeros(0, dtype=dt)
+        self._carry_y = np.zeros((nc, 0), dtype=dt)
         # window spectrum for the post-hoc mean-detrend correction
-        self._W = np.fft.rfft(self.win)[:nf]
+        self._W = (np.fft.rfft(self.win)[:nf] if self.onesided
+                   else np.fft.fft(self.win))
 
     # ------------------------------------------------------------------ #
 
     def push(self, x, y=None):
         """Consume the next time block (``x`` (nb,); ``y`` (nch, nb))."""
-        x = np.asarray(x, dtype=np.float64).ravel()
+        dt = np.float64 if self.onesided else np.complex128
+        if self.onesided and (np.iscomplexobj(x) or np.iscomplexobj(y)):
+            raise ValueError("complex blocks require onesided=False")
+        x = np.asarray(x, dtype=dt).ravel()
         if y is None:
             y = x[None, :] if self.nch == 1 else None
-        y = np.atleast_2d(np.asarray(y, dtype=np.float64))
+        y = np.atleast_2d(np.asarray(y, dtype=dt))
         if y.shape[0] != self.nch or y.shape[1] != x.size:
             raise ValueError(f"y shape {y.shape} != ({self.nch}, {x.size})")
 
@@ -149,10 +182,17 @@ class StreamingWelch:
         nb = x.size
         navr = 0 if nb < self.nwins else 1 + (nb - self.nwins) // self.hop
         if navr > 0:
-            out = _block_sums(jnp.asarray(x), jnp.asarray(y),
-                              jnp.asarray(self.win), navr=navr,
-                              nwins=self.nwins, hop=self.hop,
-                              nnyquist=self.nnyquist, backend=self.backend)
+            win_j = jnp.asarray(self.win)
+            if self.onesided:
+                out = _block_sums(jnp.asarray(x), jnp.asarray(y), win_j,
+                                  navr=navr, nwins=self.nwins, hop=self.hop,
+                                  nnyquist=self.nnyquist,
+                                  backend=self.backend)
+            else:
+                out = _block_sums2(jnp.asarray(x.real), jnp.asarray(x.imag),
+                                   jnp.asarray(y.real), jnp.asarray(y.imag),
+                                   win_j, navr=navr, nwins=self.nwins,
+                                   hop=self.hop, backend=self.backend)
             Sxx, Syy, Sre, Sim, Axr, Axi, Ayr, Ayi = map(np.asarray, out)
             self.navr += navr
             self.Sxx += Sxx
@@ -192,15 +232,25 @@ class StreamingWelch:
         S1 = seg.get_s1(self.win)
         S2 = seg.get_s2(self.win)
         ENBW = seg.get_enbw(self.fs, S1, S2)
-        scale = _onesided_power_scale(self.nwins, self.nnyquist)
+        if self.onesided:
+            scale = _onesided_power_scale(self.nwins, self.nnyquist)
+        else:
+            scale = 1.0
         norm = scale / (S1 ** 2 * ENBW * self.navr)
 
         Sxx, Syy, Sxy = self._detrended_sums()
         out = Struct()
-        out.freq = self.fs * np.arange(self.nnyquist) / self.nwins
-        out.Pxx = Sxx * norm
-        out.Pyy = Syy * norm
-        out.Pxy = Sxy * norm
+        if self.onesided:
+            out.freq = self.fs * np.arange(self.nnyquist) / self.nwins
+            out.Pxx = Sxx * norm
+            out.Pyy = Syy * norm
+            out.Pxy = Sxy * norm
+        else:
+            out.freq = np.fft.fftshift(
+                np.fft.fftfreq(self.nwins, 1.0 / self.fs))
+            out.Pxx = np.fft.fftshift(Sxx * norm)
+            out.Pyy = np.fft.fftshift(Syy * norm, axes=-1)
+            out.Pxy = np.fft.fftshift(Sxy * norm, axes=-1)
         # (nch, nf) layout: broadcast Pxx over the channel axis
         denom = np.abs(out.Pxx)[None, :] * np.abs(out.Pyy)
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -218,7 +268,7 @@ class StreamingWelch:
     _STATE = ("navr", "nseen", "sum_x", "sum_y", "Sxx", "Syy", "Sxy",
               "Ax", "Ay", "_carry_x", "_carry_y")
     _CONFIG = ("nwins", "fs", "nch", "noverlap", "detrend",
-               "windowfunction")
+               "windowfunction", "onesided")
 
     def checkpoint(self, path):
         """Write the full resumable state to one ``.npz`` file."""
@@ -239,6 +289,7 @@ class StreamingWelch:
                      windowoverlap=noverlap / nwins,
                      windowfunction=str(z["cfg_windowfunction"]),
                      detrend=str(z["cfg_detrend"]),
+                     onesided=bool(z["cfg_onesided"]),
                      fft_backend=fft_backend)
             for k in cls._STATE:
                 v = z[k]

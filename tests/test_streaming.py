@@ -118,3 +118,43 @@ def test_errors():
         sw.push(np.zeros(100), np.zeros((3, 100)))
     with pytest.raises(ValueError, match="segment"):
         sw.result()
+
+
+def test_twosided_complex_matches_batch():
+    """Complex IQ stream (onesided=False) == batch fft_pwelch two-sided."""
+    fs, n, nw = 1.0e4, 1 << 14, 512
+    t = np.arange(n) / fs
+    rng = np.random.default_rng(9)
+    z = (np.exp(1j * (2 * np.pi * (-1200.0) * t + 0.4))
+         + 0.05 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)))
+    w = 0.7 * np.exp(1j * (2 * np.pi * (-1200.0) * t - 0.5)) \
+        + 0.05 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+
+    zs, ws = z[1:n - 1], w[1:n - 1]
+    sw = StreamingWelch(nwins=nw, fs=fs, nch=1, windowoverlap=0.5,
+                        onesided=False)
+    i = 0
+    while i < zs.size:
+        j = min(i + 3000, zs.size)
+        sw.push(zs[i:j], ws[None, i:j])
+        i = j
+    res = sw.result()
+
+    freq, Pxy, Pxx, Pyy, Cxy, phi, info = ft.fft_pwelch(
+        t, z, w, tbounds=[t[1], t[-2]], windowoverlap=0.5,
+        windowfunction="hanning", plotit=False, verbose=False,
+        detrend_style=1, tper=nw / fs)
+    assert res.Navr == info.Navr
+    np.testing.assert_allclose(res.freq, freq, rtol=1e-12)
+    np.testing.assert_allclose(np.real(res.Pxx), np.real(Pxx),
+                               rtol=1e-9, atol=1e-13)
+    np.testing.assert_allclose(res.Pxy[0], Pxy, rtol=1e-8, atol=1e-13)
+    # the line sits at -1200 Hz only (complex one-tone)
+    pk = int(np.argmax(np.real(res.Pxx)))
+    assert abs(res.freq[pk] + 1200.0) < fs / nw
+    # checkpoint round-trip preserves complex state exactly
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = sw.checkpoint(os.path.join(d, "c.npz"))
+        back = StreamingWelch.restore(p)
+        np.testing.assert_array_equal(back.result().Pxy, res.Pxy)
