@@ -146,4 +146,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    import traceback
+    try:
+        main()
+    except Exception:
+        # the driver records stdout; never leave it empty
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "welch_psd_fir_chain_throughput",
+            "value": 0.0,
+            "unit": "samples/s/chip",
+            "vs_baseline": 0.0,
+            "error": "bench failed; see stderr",
+        }))
+        sys.exit(0)
