@@ -37,7 +37,8 @@ __all__ = ["butter", "butter_lowpass", "butter_bandpass",
            "butter_lowpass_filter", "complex_filtfilt", "lfilter",
            "lfilter_zi", "filtfilt", "upsample", "downsample",
            "downsample_efficient", "smooth", "firwin", "freqz",
-           "oaconvolve", "fir_filter", "fir_filtfilt", "iir_to_fir"]
+           "oaconvolve", "fir_filter", "fir_filtfilt", "iir_to_fir",
+           "resample_poly"]
 
 
 # --------------------------------------------------------------------------- #
@@ -526,6 +527,73 @@ def fir_filtfilt(x, taps, axis=-1):
     y = oaconvolve(ext, taps, mode="full")
     delay = (ntaps - 1) // 2
     y = y[..., pad + delay:pad + delay + x.shape[-1]]
+    return np.moveaxis(y, -1, axis)
+
+
+
+def resample_poly(x, up, down, axis=-1, taps=None):
+    """Polyphase rational-rate resampling (scipy ``resample_poly`` parity).
+
+    The polyphase decomposition maps onto the device batch axis: phase
+    sub-filter ``h_p[i] = h[i*up + p]`` is applied with the overlap-save
+    kernel (one batched conv per phase, ``up`` phases), and the outputs
+    interleave/decimate to the ``up/down`` rate — no zero-stuffed signal is
+    ever materialized.  ``taps=None`` designs the scipy default anti-alias
+    filter (Kaiser beta=5.0, 10*max(up,down) taps per side, gain ``up``).
+    """
+    from math import gcd
+
+    x = np.asarray(x)
+    up, down = int(up), int(down)
+    if up <= 0 or down <= 0:
+        raise ValueError("up and down must be positive")
+    g = gcd(up, down)
+    up //= g
+    down //= g
+    if up == down == 1:
+        return x.copy()
+
+    xm = np.moveaxis(x, axis, -1)
+    n_in = xm.shape[-1]
+    if taps is None:
+        max_rate = max(up, down)
+        f_c = 1.0 / (2 * max_rate)
+        half_len = 10 * max_rate
+        from .windows import kaiser
+        ntaps = 2 * half_len + 1
+        m = np.arange(ntaps) - half_len
+        h = 2 * f_c * np.sinc(2 * f_c * m) * kaiser(ntaps, 5.0)
+        h = h / h.sum() * up
+    else:
+        h = np.asarray(taps, dtype=np.float64)
+    ntaps = len(h)
+
+    # scipy output alignment: n_out samples, group delay (ntaps-1)//2
+    n_out = -(-n_in * up // down)
+    offset = (ntaps - 1) // 2
+
+    # phase sub-filters h_p[i] = h[i*up + p] applied per phase
+    lead = xm.shape[:-1]
+    x2 = xm.reshape(-1, n_in)
+    y_full_len = n_in * up + ntaps - 1
+    phases = []
+    for p in range(up):
+        hp = h[p::up]
+        if len(hp) == 0:
+            hp = np.zeros(1)
+        yp = np.asarray(oaconvolve(x2, hp, mode="full"))
+        phases.append(yp)
+    # interleave: y_full[q*up + p] = phases[p][q]
+    qmax = max(ph.shape[-1] for ph in phases)
+    y_full = np.zeros(x2.shape[:-1] + (qmax * up,), dtype=phases[0].dtype)
+    for p, yp in enumerate(phases):
+        y_full[..., p::up][..., :yp.shape[-1]] = yp
+    y = y_full[..., offset:offset + n_out * down:down]
+    if y.shape[-1] < n_out:
+        y = np.concatenate(
+            [y, np.zeros(y.shape[:-1] + (n_out - y.shape[-1],),
+                         dtype=y.dtype)], axis=-1)
+    y = y.reshape(lead + (n_out,))
     return np.moveaxis(y, -1, axis)
 
 

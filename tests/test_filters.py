@@ -192,3 +192,25 @@ def test_complex_filtfilt():
     ours = flt.complex_filtfilt(b, a, z)
     ref = dsp.filtfilt(b, a, z.real) + 1j * dsp.filtfilt(b, a, z.imag)
     np.testing.assert_allclose(ours, ref, rtol=1e-8, atol=1e-10)
+
+
+def test_resample_poly_matches_scipy():
+    from scipy import signal as sps
+
+    rng = np.random.default_rng(0)
+    for up, down in [(2, 1), (1, 3), (3, 2), (7, 5), (5, 7), (4, 4)]:
+        x = rng.standard_normal(1000)
+        a = np.asarray(flt.resample_poly(x, up, down))
+        b = sps.resample_poly(x, up, down)
+        np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
+    x2 = rng.standard_normal((3, 500))
+    np.testing.assert_allclose(
+        np.asarray(flt.resample_poly(x2, 3, 2, axis=-1)),
+        sps.resample_poly(x2, 3, 2, axis=-1), rtol=1e-10, atol=1e-12)
+    # custom taps path + error
+    taps = flt.firwin(31, 0.4)
+    y = flt.resample_poly(x2, 2, 1, taps=taps)
+    assert y.shape == (3, 1000)
+    import pytest
+    with pytest.raises(ValueError):
+        flt.resample_poly(x2, 0, 1)
