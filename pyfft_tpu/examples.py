@@ -187,3 +187,17 @@ def test_fft_deriv(modified=True, plotit=False):
             plt.plot(np.asarray(xo), np.asarray(dydt), "*", label="fft der")
             plt.legend(loc="lower left")
     return out
+
+
+if __name__ == "__main__":  # pragma: no cover - manual smoke entry
+    print("test_fftpwelch ...")
+    test_fftpwelch()
+    print("test_fftanal ...")
+    test_fftanal(N=2 ** 15, seed=0)
+    print("create_turb_spectra ...")
+    create_turb_spectra()
+    print("testFFTanal (homebrew vs oracle) ...")
+    testFFTanal()
+    print("test_fft_deriv ...")
+    test_fft_deriv()
+    print("all examples ran")
