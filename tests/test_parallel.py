@@ -139,3 +139,26 @@ def test_host_mesh_and_report():
     import pytest
     with pytest.raises(ValueError):
         make_host_mesh(ch=3, t=n)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_stft_sharded_matches_single():
+    from pyfft_tpu.parallel.stft import stft_sharded
+    from pyfft_tpu.fftanal import stft_segments
+
+    rng = np.random.default_rng(4)
+    nt = 4096
+    fs = 1e3
+    t = np.arange(nt) / fs
+    x = np.sin(2 * np.pi * 100 * t) + 0.1 * rng.standard_normal(nt)
+    plan = seg.plan_segments(nt, nwins=256, windowoverlap=0.5)
+    win = np.hanning(257)[:-1]
+    mesh = par.make_mesh(ch=1, t=8)
+
+    tt_s, freq_s, X_s = stft_sharded(x, t, win, plan, fs, mesh,
+                                     onesided=True, detrend_style=1)
+    tt_1, freq_1, X_1, pseg = stft_segments(x, t, win, plan, fs,
+                                            onesided=True, detrend_style=1)
+    np.testing.assert_allclose(freq_s, freq_1, rtol=1e-12)
+    np.testing.assert_allclose(tt_s, np.asarray(tt_1), rtol=1e-12)
+    np.testing.assert_allclose(X_s, np.asarray(X_1), rtol=1e-9, atol=1e-12)
