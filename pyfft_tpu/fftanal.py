@@ -499,6 +499,33 @@ class fftanal(Struct):
             self.win, self.Nnyquist, self.Fs)
 
     @staticmethod
+    def _fft_win(sig, **kwargs):
+        """Instance-free windowed segment FFT (reference :2554-2640): the
+        same contract as :meth:`fft_win`, with the segmentation plan and
+        window supplied as keywords instead of instance state.
+
+        Required: ``win``, ``nwins``, ``Navr``, ``noverlap``, ``Nnyquist``.
+        Optional: ``tvec``, ``Fs``, ``onesided``, ``detrend_style``,
+        ``detrendwin``, ``fft_backend``.  Returns ``(tt, freq, Xfft, pseg)``.
+        """
+        sig = np.asarray(sig)
+        tvec = kwargs.get("tvec", None)
+        if tvec is None:
+            tvec = np.linspace(0.0, 1.0, len(sig))
+        fs = kwargs.get("Fs", fftanal.__Fs__(tvec))
+        nwins = int(kwargs["nwins"])
+        plan = seg.SegmentPlan(
+            nsig=len(sig), nwins=nwins, noverlap=int(kwargs["noverlap"]),
+            navr=int(kwargs["Navr"]), nfft=nwins,
+            nnyquist=int(kwargs["Nnyquist"]))
+        return stft_segments(
+            sig, tvec, kwargs["win"], plan, fs,
+            onesided=kwargs.get("onesided", False),
+            detrend_style=kwargs.get("detrend_style", 1),
+            detrendwin=kwargs.get("detrendwin", False),
+            fft_backend=kwargs.get("fft_backend", None))
+
+    @staticmethod
     def intspectra(freq, sigft, ifreq=None, ispan=None, ENBW=None):
         """Integrate a spectrum around its peak (reference :2514-2536)."""
         freq = np.asarray(freq)
@@ -568,6 +595,67 @@ class fftanal(Struct):
         _ax.plot(1e6 * np.asarray(self.lags), np.asarray(self.corrcoef).real, "k-")
         _ax.set_ylabel(r"$\rho_{xy}$", **self.afont)
         return _ax
+
+    @staticmethod
+    def _plotCorr(lags, corr, _ax=None, scl=1e6, afont=None, titl=None,
+                  xlbl="lags [us]", ylbl=None, fmt="k-"):  # pragma: no cover
+        """Single lag-domain trace (reference :2721)."""
+        import matplotlib.pyplot as plt
+        if _ax is None:
+            plt.figure()
+            _ax = plt.gca()
+        afont = afont or {}
+        _ax.plot(scl * np.asarray(lags), np.asarray(corr).real, fmt)
+        if titl:
+            _ax.set_title(titl, **afont)
+        if xlbl:
+            _ax.set_xlabel(xlbl, **afont)
+        if ylbl:
+            _ax.set_ylabel(ylbl, **afont)
+        return _ax
+
+    def plotCorrelations(self, axs=None):  # pragma: no cover
+        """Lag-domain correlation panel(s) (reference :2245-2280): the number
+        of axes selects which of rho_xy / Rxx / Ryy / Rxy are drawn."""
+        import matplotlib.pyplot as plt
+        pc = fftanal._plotCorr
+        if axs is None:
+            plt.figure()
+            ax1 = plt.subplot(4, 1, 1)
+            axs = [ax1,
+                   plt.subplot(4, 1, 2, sharex=ax1, sharey=ax1),
+                   plt.subplot(4, 1, 3, sharex=ax1, sharey=ax1),
+                   plt.subplot(4, 1, 4, sharex=ax1)]
+        axs = list(np.atleast_1d(axs))
+        af = self.afont
+        if len(axs) == 1:
+            return pc(self.lags, self.corrcoef, _ax=axs[0], afont=af,
+                      ylbl=r"$\rho_{xy}$")
+        if len(axs) == 2:
+            pc(self.lags, self.Rxx, _ax=axs[0], afont=af,
+               titl="Correlations", xlbl=None, ylbl=r"$R_{xx}$", fmt="b-")
+            pc(self.lags, self.Ryy, _ax=axs[0], afont=af, xlbl=None, fmt="r-")
+            pc(self.lags, self.Rxy, _ax=axs[0], afont=af, xlbl=None, fmt="k-")
+            pc(self.lags, self.corrcoef, _ax=axs[1], afont=af,
+               titl="Cross-Correlation", ylbl=r"$\rho_{xy}$")
+            return axs[0], axs[1]
+        if len(axs) == 3:
+            pc(self.lags, self.Rxx, _ax=axs[0], afont=af,
+               titl="Auto-Correlation", xlbl=None, ylbl=r"$R_{xx}$", fmt="b-")
+            pc(self.lags, self.Ryy, _ax=axs[1], afont=af,
+               titl="Auto-Correlation", xlbl=None, ylbl=r"$R_{yy}$", fmt="r-")
+            pc(self.lags, self.Rxy, _ax=axs[2], afont=af,
+               titl="Cross-Correlation", xlbl=None, ylbl=r"$R_{xy}$")
+            return axs[0], axs[1], axs[2]
+        pc(self.lags, self.Rxx, _ax=axs[0], afont=af,
+           titl="Cross-Correlation", xlbl="", ylbl=r"$R_{xx}$", fmt="b-")
+        pc(self.lags, self.Ryy, _ax=axs[1], afont=af, xlbl="",
+           ylbl=r"$R_{yy}$", fmt="r-")
+        pc(self.lags, self.Rxy, _ax=axs[2], afont=af, xlbl="",
+           ylbl=r"$R_{xy}$")
+        pc(self.lags, self.corrcoef, _ax=axs[3], afont=af,
+           ylbl=r"$\rho_{xy}$")
+        return axs[0], axs[1], axs[2], axs[3]
 
     def plotPxy(self, _ax=None):  # pragma: no cover
         import matplotlib.pyplot as plt

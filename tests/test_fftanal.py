@@ -127,3 +127,35 @@ def test_mxu_backend_fft_pwelch_matches_xla():
     np.testing.assert_allclose(phi1, phi2, rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(np.asarray(i1.Rxy), np.asarray(i2.Rxy),
                                rtol=1e-6, atol=1e-10)
+
+
+def test_static_fft_win_matches_instance():
+    """fftanal._fft_win (reference :2554) == instance fft_win."""
+    tvec, sigx, _ = _sigs()
+    obj = _our_class(tvec, sigx, sigx)
+    sig = obj.__trimsig__(sigx, obj.ibounds)
+    tv = obj.__trimsig__(tvec, obj.ibounds)
+    tt, freq, X, pseg = ft.fftanal._fft_win(
+        sig, tvec=tv, win=obj.win, nwins=obj.nwins, Navr=obj.Navr,
+        noverlap=obj.noverlap, Nnyquist=obj.Nnyquist,
+        onesided=obj.onesided, detrend_style=obj.detrendstyle)
+    np.testing.assert_allclose(np.asarray(X), np.asarray(obj.Xseg),
+                               rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(freq), np.asarray(obj.freq))
+    np.testing.assert_allclose(np.asarray(pseg), np.asarray(obj.Xpow))
+
+
+def test_plot_correlations_headless():
+    """plotCorrelations renders on Agg for every axs-count branch."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    tvec, sigx, sigy = _sigs()
+    obj = _our_class(tvec, sigx, sigy)
+    obj.crosscorr()
+    assert obj.plotCorrelations() is not None        # default 4-panel
+    for n in (1, 2, 3):
+        fig, axs = plt.subplots(n, 1, squeeze=False)
+        out = obj.plotCorrelations(axs=list(axs.ravel()))
+        assert out is not None
+    plt.close("all")
