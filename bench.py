@@ -39,26 +39,52 @@ def _tpu_chain(x, y, taps, win, plan, iters=5):
     Hr = jnp.asarray(H.real.astype(np.float32))
     Hi = jnp.asarray(H.imag.astype(np.float32))
 
+    use_pallas = backend == "mxu"  # real TPU: fused single-pass kernels
+    if use_pallas:
+        from pyfft_tpu.ops.pallas_fir import fir_pallas
+        from pyfft_tpu.ops.pallas_welch import (welch_pallas_fused,
+                                                pallas_welch_applicable)
+        use_pallas = pallas_welch_applicable(plan.nwins, plan.nnyquist,
+                                             plan.navr)
+
     @partial(jax.jit, static_argnames=())
     def step(x_d, y_d):
-        # stage 1: overlap-save FIR on all channels + the reference signal
-        if backend == "xla":
-            Hc = Hr + 1j * Hi
-            yf = _os_core_xla(y_d, Hc, nfft=nfft_os, hop=hop_os,
-                              nblocks=nblocks, ntaps=ntaps)[..., :nt]
-            xf = _os_core_xla(x_d[None], Hc, nfft=nfft_os, hop=hop_os,
-                              nblocks=nblocks, ntaps=ntaps)[0, :nt]
+        if use_pallas:
+            # stage 1: single-pass banded-matmul FIR (Pallas, bf16x3)
+            sig = jnp.concatenate([x_d[None], y_d], axis=0)
+            f = fir_pallas(sig, taps, interpret=False)
+            xf, yf = f[0], f[1:]
+            # stage 2: fused frame->windowed-DFT->cross-power (Pallas)
+            knorm = np.float32(1.0 / (norm * plan.navr))
+            Pxx, Pyy, Pxy_re, Pxy_im = welch_pallas_fused(
+                xf, yf, win, plan.nnyquist, knorm, navr=plan.navr,
+                nwins=plan.nwins, noverlap=plan.noverlap, detrend_style=1,
+                interpret=False)
+            from pyfft_tpu.spectral import _onesided_power_scale
+            scale = jnp.asarray(
+                _onesided_power_scale(plan.nfft, plan.nnyquist)
+                .astype(np.float32))
+            out = dict(Pxx=Pxx * scale, Pyy=Pyy * scale,
+                       Pxy_re=Pxy_re * scale, Pxy_im=Pxy_im * scale)
         else:
-            yf = _os_core_mxu(y_d, Hr, Hi, nfft=nfft_os, hop=hop_os,
-                              nblocks=nblocks, ntaps=ntaps)[..., :nt]
-            xf = _os_core_mxu(x_d[None], Hr, Hi, nfft=nfft_os, hop=hop_os,
-                              nblocks=nblocks, ntaps=ntaps)[0, :nt]
-        # stage 2: Welch cross-spectra
-        out = _welch_core_mxu(
-            xf, None, yf, None, win_j, norm,
-            navr=plan.navr, nwins=plan.nwins, noverlap=plan.noverlap,
-            nfft=plan.nfft, nnyquist=plan.nnyquist, onesided=True,
-            detrend_style=1, ntmodel=False)
+            # portable path: overlap-save FIR + four-step MXU/XLA Welch
+            if backend == "xla":
+                Hc = Hr + 1j * Hi
+                yf = _os_core_xla(y_d, Hc, nfft=nfft_os, hop=hop_os,
+                                  nblocks=nblocks, ntaps=ntaps)[..., :nt]
+                xf = _os_core_xla(x_d[None], Hc, nfft=nfft_os, hop=hop_os,
+                                  nblocks=nblocks, ntaps=ntaps)[0, :nt]
+            else:
+                yf = _os_core_mxu(y_d, Hr, Hi, nfft=nfft_os, hop=hop_os,
+                                  nblocks=nblocks, ntaps=ntaps)[..., :nt]
+                xf = _os_core_mxu(x_d[None], Hr, Hi, nfft=nfft_os,
+                                  hop=hop_os, nblocks=nblocks,
+                                  ntaps=ntaps)[0, :nt]
+            out = _welch_core_mxu(
+                xf, None, yf, None, win_j, norm,
+                navr=plan.navr, nwins=plan.nwins, noverlap=plan.noverlap,
+                nfft=plan.nfft, nnyquist=plan.nnyquist, onesided=True,
+                detrend_style=1, ntmodel=False)
         # scalar checksum: a reliable stream-sync point on the tunnel
         # backend (block_until_ready alone under-reports there)
         chk = (jnp.sum(out["Pxx"]) + jnp.sum(out["Pyy"])

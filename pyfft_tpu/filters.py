@@ -497,7 +497,7 @@ def fir_filter(x, taps, axis=-1, backend=None):
     """Causal FIR filtering ('same' alignment as lfilter).
 
     ``backend``: 'os' (overlap-save, default) or 'pallas' (single-pass
-    fused kernel, taps <= 256; see :mod:`pyfft_tpu.ops.pallas_fir`).
+    fused kernel, taps <= 1024; see :mod:`pyfft_tpu.ops.pallas_fir`).
     """
     x = np.moveaxis(np.asarray(x), axis, -1)
     if backend == "pallas":

@@ -18,6 +18,13 @@ Used by the ``fft_backend='pallas'`` fast path for one-sided real-input
 Welch estimation with moderate segment lengths (direct DFT is O(nwins) work
 per sample; favored for ``nwins <= ~4096`` where it beats the multi-pass
 four-step recursion by avoiding its HBM-bound transposes).
+
+:func:`welch_pallas_fused` is the production entry: detrend -> frame ->
+reference-channel STFT -> fused accumulation in ONE jitted dispatch (the
+remote-TPU tunnel charges ~2 ms per dispatch, so eager stage glue costs
+more than the math).  Precision: in-kernel ``bf16x3`` by default on TPU
+(3 bf16 passes, f32 accumulate, tables pre-split host-side; ~1e-6
+relative on averaged spectra) — see :mod:`pyfft_tpu.ops.precision`.
 """
 from __future__ import annotations
 
@@ -27,10 +34,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+
+from .precision import dot_bf16x3, resolve_kernel_precision
 
 
-__all__ = ["welch_power_pallas", "stft_matmul_tables",
+__all__ = ["welch_power_pallas", "welch_pallas_fused", "stft_matmul_tables",
            "pallas_welch_applicable"]
 
 
@@ -44,7 +52,8 @@ _VMEM_BUDGET = 11 * 1024 * 1024
 
 
 def _vmem_bytes(nwins, freq_tile, seg_tile):
-    """Double-buffered VMEM footprint of one grid step (f32)."""
+    """Double-buffered VMEM footprint of one grid step (f32-equivalent;
+    the bf16x3 split swaps 2 f32 tables for 4 bf16 ones — same bytes)."""
     tables = 2 * (2 * nwins * freq_tile)          # Wr+Wi blocks, x2 buffers
     frames = 2 * (seg_tile * nwins)               # y block
     ref = 2 * (2 * seg_tile * freq_tile)          # x0r+x0i blocks
@@ -89,26 +98,51 @@ def stft_matmul_tables(nwins: int, nfreq: int, win_key, dtype=np.float32):
 
 
 @lru_cache(maxsize=8)
-def _device_tables(nwins: int, nfreq: int, win_key):
-    """Device-resident window-folded DFT tables (cached: the host->device
-    transfer of the ~O(nwins*nfreq) tables dominates warm-call latency over
-    the remote-TPU tunnel if repeated)."""
+def _device_tables(nwins: int, nfreq: int, win_key, kprec: str):
+    """Device-resident window-folded DFT tables, pre-split for ``kprec``
+    (cached: re-uploading O(nwins*nfreq) tables over the remote-TPU tunnel
+    dominates warm-call latency if repeated).
+
+    Returns a flat tuple: f32 ``(Wr, Wi)`` plus, for bf16x3/bf16, the
+    kernel-side bf16 variants ``(Wr_hi, Wr_lo, Wi_hi, Wi_lo)`` /
+    ``(Wr_b, Wi_b)``.
+    """
+    import ml_dtypes
+    bf16 = ml_dtypes.bfloat16
     C, S = stft_matmul_tables(nwins, nfreq, win_key)
-    return jax.device_put(C), jax.device_put(S)
+    out = [jax.device_put(C), jax.device_put(S)]
+    if kprec == "bf16x3":
+        for T in (C, S):
+            hi = T.astype(bf16)
+            lo = (T - hi.astype(np.float32)).astype(bf16)
+            out += [jax.device_put(hi), jax.device_put(lo)]
+    elif kprec == "bf16":
+        out += [jax.device_put(C.astype(bf16)), jax.device_put(S.astype(bf16))]
+    return tuple(out)
 
 
-def _accum_kernel(y_ref, x0r_ref, x0i_ref, wr_ref, wi_ref,
-                  pyy_ref, pxyr_ref, pxyi_ref):
+def _accum_kernel(y_ref, x0r_ref, x0i_ref, *refs, kprec):
     """Grid (nc, nf, nb); accumulates over the b (segment-block) dimension."""
+    (table_refs, pyy_ref, pxyr_ref, pxyi_ref) = (refs[:-3],) + refs[-3:]
     b = pl.program_id(2)
 
     y = y_ref[0]                       # (Bt, nwins)
-    wr = wr_ref[...]                   # (nwins, Ft)
-    wi = wi_ref[...]
-    yr = jnp.dot(y, wr, precision=jax.lax.Precision.HIGHEST,
-                 preferred_element_type=jnp.float32)
-    yi = jnp.dot(y, wi, precision=jax.lax.Precision.HIGHEST,
-                 preferred_element_type=jnp.float32)
+    if kprec == "bf16x3":
+        yr = dot_bf16x3(y, table_refs[0][...], table_refs[1][...])
+        yi = dot_bf16x3(y, table_refs[2][...], table_refs[3][...])
+    elif kprec == "bf16":
+        yb = y.astype(jnp.bfloat16)
+        yr = jnp.dot(yb, table_refs[0][...],
+                     preferred_element_type=jnp.float32)
+        yi = jnp.dot(yb, table_refs[1][...],
+                     preferred_element_type=jnp.float32)
+    else:
+        yr = jnp.dot(y, table_refs[0][...],
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+        yi = jnp.dot(y, table_refs[1][...],
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
 
     x0r = x0r_ref[...]                 # (Bt, Ft)
     x0i = x0i_ref[...]
@@ -131,11 +165,10 @@ def _accum_kernel(y_ref, x0r_ref, x0i_ref, wr_ref, wi_ref,
         pxyi_ref[...] += pxyi
 
 
-@partial(jax.jit, static_argnames=("seg_tile", "freq_tile", "interpret"))
-def _welch_power_call(yfr, x0r, x0i, Wr, Wi, *, seg_tile, freq_tile,
-                      interpret):
+def _welch_power_call(yfr, x0r, x0i, ktables, *, seg_tile, freq_tile,
+                      kprec, interpret):
     nch, B, nwins = yfr.shape
-    nfreq = Wr.shape[1]
+    nfreq = ktables[0].shape[1]
     nb = B // seg_tile
     nf = nfreq // freq_tile
 
@@ -145,18 +178,17 @@ def _welch_power_call(yfr, x0r, x0i, Wr, Wi, *, seg_tile, freq_tile,
     out_shape = [jax.ShapeDtypeStruct((nch, 1, nfreq), jnp.float32)] * 3
 
     flops = 4 * nch * B * nwins * nfreq + 8 * nch * B * nfreq
-    bytes_accessed = (yfr.size + x0r.size * 2 * nf
-                      + (Wr.size + Wi.size) * nch * nb + 3 * nch * nfreq) * 4
+    bytes_accessed = (yfr.size + x0r.size * 2 * nf + 3 * nch * nfreq) * 4
 
     pyy, pxyr, pxyi = pl.pallas_call(
-        _accum_kernel,
+        partial(_accum_kernel, kprec=kprec),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, seg_tile, nwins), lambda c, f, b: (c, b, 0)),
             pl.BlockSpec((seg_tile, freq_tile), lambda c, f, b: (b, f)),
             pl.BlockSpec((seg_tile, freq_tile), lambda c, f, b: (b, f)),
-            pl.BlockSpec((nwins, freq_tile), lambda c, f, b: (0, f)),
-            pl.BlockSpec((nwins, freq_tile), lambda c, f, b: (0, f)),
+            *[pl.BlockSpec((nwins, freq_tile), lambda c, f, b: (0, f))
+              for _ in ktables],
         ],
         out_specs=[
             pl.BlockSpec((1, 1, freq_tile), lambda c, f, b: (c, 0, f)),
@@ -168,12 +200,78 @@ def _welch_power_call(yfr, x0r, x0i, Wr, Wi, *, seg_tile, freq_tile,
                                       bytes_accessed=bytes_accessed,
                                       transcendentals=0),
         interpret=interpret,
-    )(yfr, x0r, x0i, Wr, Wi)
+    )(yfr, x0r, x0i, *ktables)
     return pyy[:, 0], pxyr[:, 0], pxyi[:, 0]
 
 
+_XLA_PREC = {"highest": "highest", "bf16x3": "high", "bf16": "default"}
+
+
+@partial(jax.jit, static_argnames=("navr", "nwins", "hop", "detrend_style",
+                                   "seg_tile", "freq_tile", "kprec",
+                                   "interpret"))
+def _fused_pipeline(x, y, norm, tables, *, navr, nwins, hop, detrend_style,
+                    seg_tile, freq_tile, kprec, interpret):
+    """detrend -> frame -> pad -> x0 STFT -> fused accumulate, one dispatch."""
+    from .. import segmentation as seg
+    from ..utils.detrend import detrend_func
+
+    B_p = _round_up(navr, seg_tile)
+    det = detrend_func(detrend_style)
+    xfr = seg.frame_signal(det(x, axis=-1), nwins, hop, navr)
+    yfr = seg.frame_signal(det(y, axis=-1), nwins, hop, navr)
+    xfr = jnp.pad(xfr, [(0, B_p - navr), (0, 0)])
+    yfr = jnp.pad(yfr, [(0, 0), (0, B_p - navr), (0, 0)])
+
+    Wr, Wi = tables[0], tables[1]
+    prec = _XLA_PREC[kprec]
+    x0r = jnp.dot(xfr, Wr, precision=prec, preferred_element_type=jnp.float32)
+    x0i = jnp.dot(xfr, Wi, precision=prec, preferred_element_type=jnp.float32)
+    Pxx = jnp.sum(x0r * x0r + x0i * x0i, axis=0)
+
+    ktables = tables[2:] if kprec in ("bf16x3", "bf16") else tables[:2]
+    Pyy, Pxy_re, Pxy_im = _welch_power_call(
+        yfr, x0r, x0i, ktables, seg_tile=seg_tile, freq_tile=freq_tile,
+        kprec=kprec, interpret=interpret)
+    return Pxx * norm, Pyy * norm, Pxy_re * norm, Pxy_im * norm
+
+
+def welch_pallas_fused(x, y, win, nfreq, norm, *, navr, nwins, noverlap,
+                       detrend_style=1, precision=None, interpret=None):
+    """One-sided real-input Welch cross-powers, fully fused on-device.
+
+    ``x (nt,)`` reference channel, ``y (nch, nt)`` channels; returns
+    device arrays ``(Pxx (nfreq,), Pyy (nch, nfreq), Pxy_re, Pxy_im)``
+    already scaled by ``norm`` (caller folds one-sided/S1^2/ENBW/navr
+    factors into that scalar).  Raises ValueError when the segment length
+    cannot be tiled in VMEM (fall back to the 'mxu' path).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    kprec = resolve_kernel_precision(precision)
+    tiles = _choose_tiles(nwins, nfreq, navr, 128, 256)
+    if tiles is None:
+        raise ValueError(
+            f"pallas welch kernel: nwins={nwins} segment blocks do not fit "
+            f"in VMEM; use the 'mxu' backend for very long segments")
+    seg_tile, freq_tile = tiles
+    nfreq_p = _round_up(nfreq, freq_tile)
+
+    win_key = tuple(np.asarray(win, dtype=np.float64).tolist())
+    tables = _device_tables(nwins, nfreq_p, win_key, kprec)
+
+    Pxx, Pyy, Pxy_re, Pxy_im = _fused_pipeline(
+        jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+        jnp.float32(norm), tables, navr=navr, nwins=nwins,
+        hop=nwins - noverlap, detrend_style=int(detrend_style),
+        seg_tile=seg_tile, freq_tile=freq_tile, kprec=kprec,
+        interpret=bool(interpret))
+    return (Pxx[:nfreq], Pyy[:, :nfreq], Pxy_re[:, :nfreq],
+            Pxy_im[:, :nfreq])
+
+
 def welch_power_pallas(xfr, yfr, win, nfreq, *, seg_tile=128, freq_tile=256,
-                       interpret=None):
+                       precision=None, interpret=None):
     """Accumulated one-sided Welch cross-powers from framed signals.
 
     ``xfr (B, nwins)``, ``yfr (nch, B, nwins)`` — un-windowed frames; the
@@ -182,10 +280,13 @@ def welch_power_pallas(xfr, yfr, win, nfreq, *, seg_tile=128, freq_tile=256,
     by ``navr`` and applies the one-sided/normalization scales.
 
     Frames are zero-padded to tile multiples (zero segments contribute
-    nothing to the sums, so padding is exact).
+    nothing to the sums, so padding is exact).  Prefer
+    :func:`welch_pallas_fused` for signal inputs — it fuses the framing
+    and reference STFT into the same dispatch.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    kprec = resolve_kernel_precision(precision)
     xfr = jnp.asarray(xfr, jnp.float32)
     yfr = jnp.asarray(yfr, jnp.float32)
     B, nwins = xfr.shape
@@ -201,7 +302,8 @@ def welch_power_pallas(xfr, yfr, win, nfreq, *, seg_tile=128, freq_tile=256,
     B_p = _round_up(B, seg_tile)
 
     win_key = tuple(np.asarray(win, dtype=np.float64).tolist())
-    Wr, Wi = _device_tables(nwins, nfreq_p, win_key)
+    tables = _device_tables(nwins, nfreq_p, win_key, kprec)
+    Wr, Wi = tables[0], tables[1]
 
     if B_p != B:
         pad = [(0, B_p - B), (0, 0)]
@@ -209,16 +311,16 @@ def welch_power_pallas(xfr, yfr, win, nfreq, *, seg_tile=128, freq_tile=256,
         yfr = jnp.pad(yfr, [(0, 0)] + pad)
 
     # stage 1: reference-channel STFT (one dense matmul, XLA)
-    x0r = jnp.dot(xfr, Wr, precision=jax.lax.Precision.HIGHEST,
-                  preferred_element_type=jnp.float32)
-    x0i = jnp.dot(xfr, Wi, precision=jax.lax.Precision.HIGHEST,
-                  preferred_element_type=jnp.float32)
+    prec = _XLA_PREC[kprec]
+    x0r = jnp.dot(xfr, Wr, precision=prec, preferred_element_type=jnp.float32)
+    x0i = jnp.dot(xfr, Wi, precision=prec, preferred_element_type=jnp.float32)
     Pxx = jnp.sum(x0r * x0r + x0i * x0i, axis=0)
 
     # stage 2: fused per-channel cross-power accumulation (Pallas)
+    ktables = tables[2:] if kprec in ("bf16x3", "bf16") else tables[:2]
     Pyy, Pxy_re, Pxy_im = _welch_power_call(
-        yfr, x0r, x0i, Wr, Wi, seg_tile=seg_tile, freq_tile=freq_tile,
-        interpret=bool(interpret))
+        yfr, x0r, x0i, ktables, seg_tile=seg_tile, freq_tile=freq_tile,
+        kprec=kprec, interpret=bool(interpret))
 
     return (Pxx[:nfreq], Pyy[:, :nfreq], Pxy_re[:, :nfreq],
             Pxy_im[:, :nfreq])

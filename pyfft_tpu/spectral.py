@@ -314,23 +314,27 @@ def _welch_core_pallas(xr, yr, win_np, s1sq_enbw, *, navr, nwins, noverlap,
                        nfft, nnyquist, detrend_style):
     """Fused-kernel Welch path (one-sided, real inputs).
 
-    Uses :func:`pyfft_tpu.ops.pallas_welch.welch_power_pallas`: the
-    (navr, nfreq) STFT never hits HBM; per-segment arrays are not produced
-    (the price of the fast path).  The window is folded into the kernel's
-    DFT tables host-side, so it arrives as a concrete array.
-    """
-    from .ops.pallas_welch import welch_power_pallas
+    Uses :func:`pyfft_tpu.ops.pallas_welch.welch_pallas_fused`: detrend,
+    framing, the reference STFT and the cross-power accumulation run in a
+    single device dispatch; the (navr, nfreq) STFT never hits HBM;
+    per-segment arrays are not produced (the price of the fast path).
 
-    xfr, yfr = _detrend_and_frame(xr, yr, navr=navr, nwins=nwins,
-                                  noverlap=noverlap,
-                                  detrend_style=detrend_style)
-    Pxx, Pyy, Pxy_re, Pxy_im = welch_power_pallas(xfr, yfr, win_np, nnyquist)
-    scale = _onesided_power_scale(nfft, nnyquist)
-    norm = (scale / (s1sq_enbw * navr)).astype(np.float32)
-    Pxx = np.asarray(Pxx) * norm
-    Pyy = (np.asarray(Pyy) * norm).T
-    Pxy_re = (np.asarray(Pxy_re) * norm).T
-    Pxy_im = (np.asarray(Pxy_im) * norm).T
+    One subtlety: the one-sided bin doubling is a *vector* scale
+    (interior bins x2, DC and the even-nfft edge bin x1), so the scalar
+    ``norm`` handed to the kernel carries only S1^2*ENBW*navr and the
+    vector fixup is applied to the (tiny) averaged outputs here.
+    """
+    from .ops.pallas_welch import welch_pallas_fused
+
+    norm = np.float32(1.0 / (s1sq_enbw * navr))
+    Pxx, Pyy, Pxy_re, Pxy_im = welch_pallas_fused(
+        xr, yr, win_np, nnyquist, norm, navr=navr, nwins=nwins,
+        noverlap=noverlap, detrend_style=detrend_style)
+    scale = _onesided_power_scale(nfft, nnyquist).astype(np.float32)
+    Pxx = np.asarray(Pxx) * scale
+    Pyy = (np.asarray(Pyy) * scale).T
+    Pxy_re = (np.asarray(Pxy_re) * scale).T
+    Pxy_im = (np.asarray(Pxy_im) * scale).T
     return dict(Pxx=Pxx, Pyy=Pyy, Pxy_re=Pxy_re, Pxy_im=Pxy_im)
 
 
