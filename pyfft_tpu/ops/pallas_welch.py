@@ -98,10 +98,9 @@ def stft_matmul_tables(nwins: int, nfreq: int, win_key, dtype=np.float32):
 
 
 @lru_cache(maxsize=8)
-def _device_tables(nwins: int, nfreq: int, win_key, kprec: str):
-    """Device-resident window-folded DFT tables, pre-split for ``kprec``
-    (cached: re-uploading O(nwins*nfreq) tables over the remote-TPU tunnel
-    dominates warm-call latency if repeated).
+def _host_tables(nwins: int, nfreq: int, win_key, kprec: str):
+    """Window-folded DFT tables pre-split for ``kprec`` (host numpy —
+    pure, so safe to build under a trace).
 
     Returns a flat tuple: f32 ``(Wr, Wi)`` plus, for bf16x3/bf16, the
     kernel-side bf16 variants ``(Wr_hi, Wr_lo, Wi_hi, Wi_lo)`` /
@@ -110,15 +109,38 @@ def _device_tables(nwins: int, nfreq: int, win_key, kprec: str):
     import ml_dtypes
     bf16 = ml_dtypes.bfloat16
     C, S = stft_matmul_tables(nwins, nfreq, win_key)
-    out = [jax.device_put(C), jax.device_put(S)]
+    out = [C, S]
     if kprec == "bf16x3":
         for T in (C, S):
             hi = T.astype(bf16)
             lo = (T - hi.astype(np.float32)).astype(bf16)
-            out += [jax.device_put(hi), jax.device_put(lo)]
+            out += [hi, lo]
     elif kprec == "bf16":
-        out += [jax.device_put(C.astype(bf16)), jax.device_put(S.astype(bf16))]
+        out += [C.astype(bf16), S.astype(bf16)]
     return tuple(out)
+
+
+@lru_cache(maxsize=8)
+def _device_cache(nwins: int, nfreq: int, win_key, kprec: str):
+    out = tuple(jax.device_put(t) for t in
+                _host_tables(nwins, nfreq, win_key, kprec))
+    jax.block_until_ready(out)
+    return out
+
+
+def _device_tables(nwins: int, nfreq: int, win_key, kprec: str):
+    """Device-resident tables when called eagerly (cached — re-uploading
+    O(nwins*nfreq) tables over the remote-TPU tunnel dominates warm-call
+    latency); raw numpy under a trace (they become jit closure constants,
+    uploaded once with the compiled executable) — ``device_put`` under a
+    trace would leak tracers through the cache."""
+    try:
+        clean = jax.core.trace_state_clean()
+    except AttributeError:  # pragma: no cover - jax internals moved
+        clean = False
+    if clean:
+        return _device_cache(nwins, nfreq, win_key, kprec)
+    return _host_tables(nwins, nfreq, win_key, kprec)
 
 
 def _accum_kernel(y_ref, x0r_ref, x0i_ref, *refs, kprec):
