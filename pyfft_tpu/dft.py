@@ -180,3 +180,43 @@ def ifft(X):
     N = len(X)
     x = fft(X, sign=1)
     return [v / float(N) for v in x]
+
+
+def test(rng=None, verbose=True):
+    """Round-trip sine-wave demo (reference ``test``, dft.py:136-168,
+    py3-fixed): random amplitude/frequency/phase, ForwardDFT, report the
+    bins above threshold.  Returns ``(params, found)`` for assertions."""
+    if rng is None:
+        rng = np.random.default_rng()
+    N = 360
+    a = float(rng.integers(1, 101))
+    f = float(rng.integers(1, 101))
+    p = float(rng.integers(0, 361))
+    if verbose:
+        print("Input Sine Wave Signal:")
+        print("frequency = " + str(f))
+        print("amplitude = " + str(a))
+        print("phase ang = " + str(p) + "\n")
+    fnList = [a * math.sin(f * (float(n) / N * pi2) + p / 360 * pi2)
+              for n in range(N)]
+    FmList = ForwardDFT(fnList)
+    found = []
+    for i, Fm in enumerate(FmList):
+        if abs(Fm) > 0.001:
+            ph = int(((cmath.phase(Fm) + pi2 + pi2 / 4.0) % pi2)
+                     / pi2 * 360 + 0.5)
+            found.append((i, abs(Fm) * 2.0, ph))
+            if verbose:
+                print("frequency = " + str(i))
+                print("amplitude = " + str(abs(Fm) * 2.0))
+                print("phase ang = " + str(ph) + "\n")
+    return (a, f, p), found
+
+
+def print_list(l):
+    """Bracketed element dump (reference ``print_list``, dft.py:231-236,
+    py3-fixed)."""
+    print("[%d]: {" % (len(l),))
+    for v in l:
+        print(v)
+    print("}")

@@ -614,6 +614,157 @@ class fftanal(Struct):
             _ax.set_ylabel(ylbl, **afont)
         return _ax
 
+    @staticmethod
+    def _plot_quantity(freq, quant, _ax=None, scl=1e-3, afont=None, titl="",
+                       ylbl="", xlbl=None, fmt="k-",
+                       plothandle=None):  # pragma: no cover
+        """Generic frequency-axis trace (reference fft_analysis.py:2790)."""
+        import matplotlib.pyplot as plt
+        if _ax is None:
+            plt.figure()
+            _ax = plt.subplot(1, 1, 1)
+        if afont is None:
+            afont = {"fontsize": 14}
+        if plothandle is None:
+            plothandle = _ax.plot
+        if xlbl is None:
+            xlbl = {1e-6: "f [MHz]", 1e-3: "f [KHz]"}.get(scl, "f [Hz]")
+        freq = np.asarray(freq)
+        plothandle(scl * freq, np.asarray(quant), fmt)
+        if ylbl is not None:
+            _ax.set_ylabel(ylbl, **afont)
+        if len(xlbl) > 0:
+            _ax.set_xlabel(xlbl, **afont)
+        if titl is not None:
+            _ax.set_title(titl, **afont)
+        if _ax.get_xlim()[0] == 0:
+            _ax.set_xlim(0, 1.01 * scl * freq[-1])
+        else:
+            _ax.set_xlim(-1.01 * scl * freq[-1], 1.01 * scl * freq[-1])
+        plt.draw()
+        return _ax
+
+    @staticmethod
+    def _plotspec(tseg, freq, Pxy_seg, logscale=False, _ax=None, vbnds=None,
+                  cmap=None, tbounds=None, titl=r"P$_{xy}$",
+                  ylbl="freq [KHz]", xlbl="time [s]",
+                  fbounds=None):  # pragma: no cover
+        """Spectrogram heat-map panel (reference fft_analysis.py:2643)."""
+        from . import plotting
+        return plotting.plot_spectrogram(
+            tseg, freq, Pxy_seg, logscale=logscale, ax=_ax, vbnds=vbnds,
+            cmap=cmap, tbounds=tbounds, titl=titl, ylbl=ylbl, xlbl=xlbl,
+            fbounds=fbounds)
+
+    @staticmethod
+    def _plotSignal(tvec, sig, _ax=None, scl=1.0, afont=None,
+                    titl="Input Signal", ylbl="Signal", fmt="k-",
+                    tbounds=None):  # pragma: no cover
+        """Time-domain trace(s); a 2-list plots x in blue / y in red with
+        dashed imaginary parts (reference fft_analysis.py:2677)."""
+        pq = fftanal._plot_quantity
+        xlbl = {1e6: "t [us]", 1e3: "t [ms]"}.get(scl, "t [s]")
+        kw = dict(scl=scl, afont=afont, titl=titl, ylbl=ylbl, xlbl=xlbl)
+        if isinstance(sig, (list, tuple)) and len(sig) == 2:
+            for tv, s, c in zip(tvec, sig, ("b", "r")):
+                s = np.asarray(s)
+                if np.iscomplexobj(s):
+                    _ax = pq(tv, s.real, _ax=_ax, fmt=c + "-", **kw)
+                    _ax = pq(tv, s.imag, _ax=_ax, fmt=c + "--", **kw)
+                else:
+                    _ax = pq(tv, s, _ax=_ax, fmt=c + fmt[1], **kw)
+        else:
+            sig = np.asarray(sig)
+            if np.iscomplexobj(sig):
+                _ax = pq(tvec, sig.real, _ax=_ax, fmt=fmt[0] + "-", **kw)
+                _ax = pq(tvec, sig.imag, _ax=_ax, fmt=fmt[0] + "--", **kw)
+            else:
+                _ax = pq(tvec, sig, _ax=_ax, fmt=fmt, **kw)
+        if tbounds is not None:
+            _ax.axvline(x=tbounds[0], color=fmt[0])
+            _ax.axvline(x=tbounds[1], color=fmt[0])
+        return _ax
+
+    @staticmethod
+    def _plotCoherence(freq, Cxy, _ax=None, scl=1e-3, afont=None,
+                       titl="Complex Coherence", ylbl=r"|$\gamma_{xy}$|",
+                       Navr=None):  # pragma: no cover
+        """|gamma| with the 1/sqrt(Navr) bias floor (reference :2731)."""
+        _ax = fftanal._plot_quantity(freq, np.abs(np.asarray(Cxy)), _ax=_ax,
+                                     scl=scl, afont=afont, titl=titl,
+                                     ylbl=ylbl, xlbl=None, fmt="k-")
+        if Navr is not None:
+            _ax.axhline(y=1.0 / np.sqrt(Navr), color="k")
+        return _ax
+
+    @staticmethod
+    def _plotRMSCoherence(freq, Cxy2, _ax=None, scl=1e-3, afont=None,
+                          titl="RMS Coherence", ylbl=r"$\gamma_{xy}$",
+                          Navr=None):  # pragma: no cover
+        _ax = fftanal._plot_quantity(freq, np.sqrt(np.abs(np.asarray(Cxy2))),
+                                     _ax=_ax, scl=scl, afont=afont, titl=titl,
+                                     ylbl=ylbl, xlbl=None, fmt="k-")
+        if Navr is not None:
+            _ax.axhline(y=1.0 / np.sqrt(Navr), color="k")
+        return _ax
+
+    @staticmethod
+    def _plotMeanSquaredCoherence(freq, Cxy2, _ax=None, scl=1e-3, afont=None,
+                                  titl="Mean Squared-Coherence",
+                                  ylbl=r"$\gamma_{xy}^2$",
+                                  Navr=None):  # pragma: no cover
+        _ax = fftanal._plot_quantity(freq, np.abs(np.asarray(Cxy2)), _ax=_ax,
+                                     scl=scl, afont=afont, titl=titl,
+                                     ylbl=ylbl, xlbl=None, fmt="k-")
+        if Navr is not None:
+            _ax.axhline(y=1.0 / Navr, color="k")
+        return _ax
+
+    @staticmethod
+    def _plotAmp(freq, Axx, Ayy, Axy, _ax=None, scl=1e-3, afont=None,
+                 titl="Power Spectra",
+                 ylbl=r"P$_{ij}$ [I.U./Hz]",
+                 _tf=np.abs, _ph=None):  # pragma: no cover
+        """Pxx/Pyy/Pxy triple in blue/red/black (reference :2779)."""
+        pq = fftanal._plot_quantity
+        kw = dict(scl=scl, afont=afont, titl=titl, ylbl=ylbl, xlbl=None)
+        for A, c in ((Axx, "b-"), (Ayy, "r-"), (Axy, "k-")):
+            _ax = pq(freq, _tf(np.abs(np.asarray(A))), _ax=_ax, fmt=c,
+                     plothandle=_ph(_ax) if (_ph and _ax) else None, **kw)
+        return _ax
+
+    @staticmethod
+    def _plotlogAmp(freq, Axx, Ayy, Axy, _ax=None, scl=1e-3, afont=None,
+                    titl="Power Spectra",
+                    ylbl=r"P$_{ij}$ [dB/Hz]"):  # pragma: no cover
+        """dB-scaled spectra triple (reference :2770)."""
+        return fftanal._plotAmp(freq, Axx, Ayy, Axy, _ax=_ax, scl=scl,
+                                afont=afont, titl=titl, ylbl=ylbl,
+                                _tf=lambda a: 10 * np.log10(a))
+
+    @staticmethod
+    def _plotsemilogAmp(freq, Axx, Ayy, Axy, _ax=None, scl=1e-3, afont=None,
+                        titl="Power Spectra",
+                        ylbl=r"P$_{ij}$ [dB/Hz]"):  # pragma: no cover
+        """dB spectra on a log frequency axis (reference :2758)."""
+        import matplotlib.pyplot as plt
+        if _ax is None:
+            plt.figure()
+            _ax = plt.subplot(1, 1, 1)
+        return fftanal._plotAmp(freq, Axx, Ayy, Axy, _ax=_ax, scl=scl,
+                                afont=afont, titl=titl, ylbl=ylbl,
+                                _tf=lambda a: 10 * np.log10(a),
+                                _ph=lambda ax: ax.semilogx)
+
+    @staticmethod
+    def _plotPhase(freq, phase, _ax=None, scl=1e-3, afont=None,
+                   titl="Cross-Phase", ylbl=r"$\phi_{xy}$",
+                   fmt="k-"):  # pragma: no cover
+        """Cross-phase trace (reference :2786)."""
+        return fftanal._plot_quantity(freq, phase, _ax=_ax, scl=scl,
+                                      afont=afont, titl=titl, ylbl=ylbl,
+                                      xlbl=None, fmt=fmt)
+
     def plotCorrelations(self, axs=None):  # pragma: no cover
         """Lag-domain correlation panel(s) (reference :2245-2280): the number
         of axes selects which of rho_xy / Rxx / Ryy / Rxy are drawn."""

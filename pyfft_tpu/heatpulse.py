@@ -42,6 +42,7 @@ from .integrate import integratespectra
 __all__ = [
     "save_hdf5", "load_hdf5", "load_data", "loadFFTdata", "loadHPdata",
     "HeatPulseBase", "HeatPulseFFT", "synth_heatpulse_data",
+    "fit_neprofile",
 ]
 
 
@@ -262,6 +263,24 @@ class HeatPulseBase(Struct):
         plt.xlabel("f[kHz]")
         return hfig
 
+    def save_fig(self, hfig=None, hNAME=None):  # pragma: no cover
+        """PNG-save a figure into ``savedir`` (reference ``save_fig``,
+        HeatPulse_Funcs.py:298-316, without the private plt_utils dep)."""
+        import matplotlib.pyplot as plt
+        if hfig is None:
+            hfig = plt.gcf()
+        if hNAME is None:
+            hNAME = str(hfig.number)
+        sfilename = os.path.join(self.savedir, str(hNAME))
+        try:
+            os.makedirs(self.savedir, exist_ok=True)
+            hfig.savefig(sfilename + ".png", dpi=100, transparent=True)
+            if getattr(self, "closefig", False):
+                plt.close(hfig)
+        except Exception:
+            print("failed to save the figure ... ")
+        return sfilename
+
 
 # ---------------------------------------------------------------------------
 # FFT driver
@@ -457,6 +476,142 @@ class HeatPulseFFT(HeatPulseBase):
                 self.Txx[jj] = np.real(np.asarray(Txx).ravel()[0])
                 self.Vxx[jj] = np.real(np.asarray(info.varPxx_i).ravel()[0])
 
+    # -- per-channel compatibility path (reference :461-574) -----------------
+
+    def integrate_spectra(self, fftinfo, frange):
+        """Integrate one channel's spectra over ``frange`` (reference
+        ``integrate_spectra``, HeatPulse_Funcs.py:461-496).  Returns the
+        10-tuple ``(Txy, Txx, Amp, Coh, Phase, Vxy, Vxx, varA, varC,
+        varP)``; per-segment when ``usesegs``."""
+        if self.usesegs:
+            navr = int(self.Navr)
+            # normalize to the reference's (navr, nf) segment layout: a
+            # single-channel fftinfo may retain a leading unit channel axis
+            Pxy_seg = np.reshape(np.asarray(fftinfo.Pxy_seg), (navr, -1))
+            Pxx_seg = np.reshape(np.asarray(fftinfo.Pxx_seg), (navr, -1))
+            Pyy_seg = np.reshape(np.asarray(fftinfo.Pyy_seg), (navr, -1))
+            Pxy_i = np.zeros((navr, 1), dtype=np.complex128)
+            varPxy_i = np.zeros_like(Pxy_i)
+            Pxx_i = np.zeros((navr, 1), dtype=np.float64)
+            varPxx_i = np.zeros_like(Pxx_i)
+            Pyy_i = np.zeros_like(Pxx_i)
+            varPyy_i = np.zeros_like(Pxx_i)
+            Cxy_i = np.zeros_like(Pxx_i)
+            varCxy_i = np.zeros_like(Pxx_i)
+            ph_i = np.zeros_like(Pxx_i)
+            varph_i = np.zeros_like(Pxx_i)
+            for kk in range(navr):
+                (Pxy_i[kk], Pxx_i[kk], Pyy_i[kk], Cxy_i[kk], ph_i[kk],
+                 info) = integratespectra(
+                    fftinfo.freq, Pxy_seg[kk, :],
+                    np.real(Pxx_seg[kk, :]),
+                    np.real(Pyy_seg[kk, :]), frange)
+                varPxy_i[kk] = info.varPxy_i
+                varPxx_i[kk] = np.real(info.varPxx_i)
+                varPyy_i[kk] = np.real(info.varPyy_i)
+                varCxy_i[kk] = np.real(info.varCxy_i)
+                varph_i[kk] = np.real(info.varph_i)
+        else:
+            Pxy_i, Pxx_i, Pyy_i, Cxy_i, ph_i, info = integratespectra(
+                fftinfo.freq, fftinfo.Pxy, fftinfo.Pxx, fftinfo.Pyy, frange,
+                varPxy=fftinfo.varPxy, varPxx=fftinfo.varPxx,
+                varPyy=fftinfo.varPyy)
+            varPxy_i = info.varPxy_i
+            varPxx_i = info.varPxx_i
+            varPyy_i = info.varPyy_i
+            varCxy_i = info.varCxy_i
+            varph_i = info.varph_i
+        return (Pxy_i, Pxx_i, Pyy_i, Cxy_i, ph_i,
+                varPxy_i, varPxx_i, varPyy_i, varCxy_i, varph_i)
+
+    def _integrate_spectra(self, ii, fftinfo):
+        """Channel ``ii``'s per-harmonic integrals into the preallocated
+        result arrays (reference ``_integrate_spectra``, :498-530)."""
+        freq = np.asarray(self.freq)
+        for jj in range(self.nharms):
+            i0, i1 = self._ifk[jj] - self._ifw, self._ifk[jj] + self._ifw
+            frange = np.asarray([freq[i0], freq[i1]])
+            _isl = np.arange(i0, i1, dtype=int)
+            (Txy, Txx, Amp, Coh, Phase,
+             Vxy, Vxx, varA, varC, varP) = self.integrate_spectra(
+                fftinfo, frange)
+            if self.usesegs:
+                navr = int(self.Navr)
+                Pyy_seg = np.reshape(np.asarray(fftinfo.Pyy_seg),
+                                     (navr, -1))
+                Tnn = 0.5 * fftinfo.ENBW * np.real(
+                    Pyy_seg[:navr, _isl[0] - 1]
+                    + Pyy_seg[:navr, _isl[-1] + 1])
+                self.Tnn[ii, jj] = Tnn
+                self.Txy[ii, jj] = np.ravel(Txy)
+                self.Vxy[ii, jj] = np.ravel(Vxy)
+                self.Amp[ii, jj] = np.real(np.ravel(Amp))
+                self.varA[ii, jj] = np.real(np.ravel(varA))
+                self.Coh[ii, jj] = np.real(np.ravel(Coh))
+                self.varC[ii, jj] = np.real(np.ravel(varC))
+                self.Phase[ii, jj] = np.real(np.ravel(Phase))
+                self.varP[ii, jj] = np.real(np.ravel(varP))
+                if ii == 0:
+                    self.Vxx[jj] = np.real(np.ravel(Vxx))
+                    self.Txx[jj] = np.real(np.ravel(Txx))
+            else:
+                Tnn = 0.5 * fftinfo.ENBW * np.real(
+                    fftinfo.Pyy[_isl[0] - 1] + fftinfo.Pyy[_isl[-1] + 1])
+                self.Tnn[ii, jj] = complex(Tnn)
+                self.Txy[ii, jj] = complex(np.ravel(Txy)[0])
+                self.Vxy[ii, jj] = complex(np.ravel(Vxy)[0])
+                self.Amp[ii, jj] = float(np.real(np.ravel(Amp)[0]))
+                self.varA[ii, jj] = float(np.real(np.ravel(varA)[0]))
+                self.Coh[ii, jj] = float(np.real(np.ravel(Coh)[0]))
+                self.varC[ii, jj] = float(np.real(np.ravel(varC)[0]))
+                self.Phase[ii, jj] = float(np.real(np.ravel(Phase)[0]))
+                self.varP[ii, jj] = float(np.real(np.ravel(varP)[0]))
+                if ii == 0:
+                    self.Vxx[jj] = float(np.real(np.ravel(Vxx)[0]))
+                    self.Txx[jj] = float(np.real(np.ravel(Txx)[0]))
+
+    def _PWELCH_ch(self, ii, iref=0, plotAlias=None, fft_backend=None):
+        """Single-channel Welch + integration (reference ``_PWELCH_ch``,
+        :532-574).  The batched `_PWELCH_all` path is the production
+        driver; this per-channel form exists for API parity and for
+        incremental/retriable channel work units."""
+        if self.verbose:
+            print("Working on channel %s" % (str(ii + 1).zfill(2),))
+        sig = np.asarray(self.sig)
+        [self.freq, _, _, _, _, _, fftinfo] = _spectral.fft_pwelch(
+            np.asarray(self.tt), np.asarray(self.refsig), sig[:, ii],
+            np.asarray(self.tbounds), Navr=int(self.Navr),
+            windowoverlap=self.overlap, windowfunction=self.winfun,
+            useMLAB=self.useMLAB, plotit=False, verbose=False,
+            fft_backend=fft_backend)
+        if ii == 0:
+            self._getharmindex_(fftinfo=fftinfo)
+            self._HP_preallocate_(fftinfo)
+        navr = int(self.Navr)
+        if self.usesegs:
+            self.Pxy[:, ii, :] = np.asarray(fftinfo.Pxy_seg).reshape(
+                (navr, self.nf), order="C").T
+            self.Pyy[:, ii, :] = np.asarray(fftinfo.Pyy_seg).reshape(
+                (navr, self.nf), order="C").T
+            self.vPxy[:, ii, :] = 0.0
+            self.vPyy[:, ii, :] = 0.0
+        else:
+            self.Pxy[:, ii] = np.asarray(fftinfo.Pxy).reshape(
+                (self.nf,), order="C")
+            self.Pyy[:, ii] = np.asarray(fftinfo.Pyy).reshape(
+                (self.nf,), order="C")
+            self.vPxy[:, ii] = np.asarray(fftinfo.varPxy).reshape(
+                (self.nf,), order="C")
+            self.vPyy[:, ii] = np.asarray(fftinfo.varPyy).reshape(
+                (self.nf,), order="C")
+        self._integrate_spectra(ii, fftinfo)
+        if self.plotit and not self.usesegs and plotAlias is not None:
+            hfig, hSPEC = plotAlias(ii, fftinfo)  # pragma: no cover
+            if self.saveit:
+                self.closefig = ii != iref
+                self.save_fig(hfig, hSPEC)
+        return fftinfo
+
     # -- the batched Welch driver (replaces the :576-583 channel loop) -------
 
     def _PWELCH_all(self, fft_backend=None):
@@ -597,3 +752,70 @@ def synth_heatpulse_data(nch=8, fmod=33.0, fs=16.0e3, T=4.0, duty=0.5,
     return dict(tt=tt, Fs=fs, refsig=ref, sig=sig, nch=nch,
                 ece_freq=ece_freq, ece_bw=np.full(nch, 0.3),
                 ece_roa=ece_roa, isroa=True)
+
+
+def fit_neprofile(QTBdat, rvec, loggradient=True, plotit=False):
+    """Thomson-scattering electron-density profile fit.
+
+    Role of the reference ``fit_neprofile`` (HeatPulse_Funcs.py:72-76),
+    which delegates to a *private, unshipped* ``FIT.fitting_dev``
+    package and therefore cannot run standalone upstream.  This is a
+    working equivalent: a variance-weighted polynomial fit of
+    ``log(ne)`` against radius, evaluated on ``rvec``.
+
+    Parameters: ``QTBdat`` is a dict with ``'roa'`` (radii), ``'ne'``
+    (densities) and optional ``'varne'`` (variances); ``rvec`` is the
+    evaluation grid.  Returns ``(logne, varlogne, dlnnedrho,
+    vardlnnedrho)`` — the reference's return contract.
+    """
+    roa = np.asarray(QTBdat["roa"], dtype=float).ravel()
+    ne = np.asarray(QTBdat["ne"], dtype=float).ravel()
+    varne = np.asarray(QTBdat.get("varne", 0.1 * ne**2),
+                       dtype=float).ravel()
+    rvec = np.asarray(rvec, dtype=float).ravel()
+
+    logne_dat = np.log(ne)
+    varlog_dat = varne / np.maximum(ne, 1e-300) ** 2   # delta method
+    w = 1.0 / np.sqrt(np.maximum(varlog_dat, 1e-12))
+    # fit in u = r^2: transport profiles are even in r, so log(ne) is far
+    # better approximated by a low-order polynomial in r^2 than in r
+    deg = min(4, len(roa) - 1)
+    u, uvec = roa**2, rvec**2
+    coef, cov = np.polyfit(u, logne_dat, deg, w=w, cov="unscaled")
+
+    V = np.vander(uvec, deg + 1)                       # basis on the grid
+    logne = V @ coef
+    varlogne = np.maximum(np.einsum("ij,jk,ik->i", V, cov, V), 0.0)
+
+    dcoef = np.polyder(np.poly1d(coef)).coefficients
+    Vd = np.vander(uvec, deg)                          # derivative basis
+    D = np.zeros((deg, deg + 1))                       # d/du in coef space
+    for i in range(deg):
+        D[i, i] = deg - i
+    drdu = 2.0 * rvec                                  # chain rule u = r^2
+    dlnnedrho = drdu * (Vd @ dcoef)
+    vardlnnedrho = np.maximum(
+        drdu**2 * np.einsum("ij,jk,ik->i", Vd @ D, cov, Vd @ D), 0.0)
+    if not loggradient:
+        nevec = np.exp(logne)
+        dlnnedrho = nevec * dlnnedrho                  # dn/dr = n dln/dr
+        vardlnnedrho = nevec**2 * (vardlnnedrho + dlnnedrho**2
+                                   * varlogne / np.maximum(nevec, 1e-300)**2)
+    if plotit:  # pragma: no cover
+        import matplotlib.pyplot as plt
+        plt.figure()
+        ax1 = plt.subplot(2, 1, 1)
+        ax1.errorbar(roa, logne_dat, yerr=np.sqrt(varlog_dat), fmt="k.")
+        ax1.plot(rvec, logne, "b-")
+        ax1.set_ylabel("log(ne)")
+        ax2 = plt.subplot(2, 1, 2, sharex=ax1)
+        ax2.plot(rvec, dlnnedrho, "b-")
+        ax2.set_ylabel("dln(ne)/drho" if loggradient else "dne/drho")
+        ax2.set_xlabel("r/a")
+        plt.draw()
+    return logne, varlogne, dlnnedrho, vardlnnedrho
+
+
+# Reference class names (HeatPulse_Funcs.py:83, :322) as importable aliases.
+__HeatPulse_base__ = HeatPulseBase
+__HeatPulse_FFTbase__ = HeatPulseFFT

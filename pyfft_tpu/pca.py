@@ -12,7 +12,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["cov", "basic_pca", "PCA", "test_data"]
+__all__ = ["cov", "basic_pca", "PCA", "test_data", "test", "test_PCA",
+           "plot_pca"]
 
 
 def cov(data):
@@ -78,3 +79,58 @@ def test_data(rng=None):
     data[:50, 2:4] += 5
     data[50:, 2:5] += 5
     return data
+
+
+def test(data=None, plotit=True):
+    """Scatter the two clusters before/after projection (reference
+    ``test``, :43-58).  Returns the projected data for assertions."""
+    if data is None:
+        data = test_data()
+    trans = basic_pca(data.copy(), 3)[0]
+    if plotit:  # pragma: no cover - headless CI draws to Agg
+        import matplotlib.pyplot as plt
+        fig, (ax1, ax2) = plt.subplots(1, 2)
+        ax1.scatter(data[:50, 0], data[:50, 1], c="r")
+        ax2.scatter(trans[:50, 0], trans[:50, 1], c="r")
+        ax1.scatter(data[50:, 0], data[50:, 1], c="b")
+        ax2.scatter(trans[50:, 0], trans[50:, 1], c="b")
+        plt.draw()
+    return trans
+
+
+def test_PCA(data=None, dims_rescaled_data=2, plotit=True):
+    """Project onto the leading eigenvectors and overplot the projection on
+    the original data (reference ``test_PCA``, :89-113).  Returns
+    ``(data, data_recovered)``."""
+    if data is None:
+        data = test_data()
+    _, _, eigenvectors = PCA(data.copy(), dims_rescaled_data=dims_rescaled_data)
+    data_recovered = np.dot(eigenvectors.T, np.asarray(data).T).T
+    if plotit:  # pragma: no cover
+        import matplotlib.pyplot as plt
+        plt.figure()
+        plt.plot(data, "-")
+        plt.plot(data_recovered, ".")
+        plot_pca(data)
+    return data, data_recovered
+
+
+def plot_pca(data, pcindices=(0, 1)):  # pragma: no cover
+    """Three-panel PCA diagnostic: data+projection, eigenvalue scree, and
+    the PC-vs-PC scatter (reference ``plot_pca``, :116-137)."""
+    import matplotlib.pyplot as plt
+    clr1 = "#2026B2"
+    data_resc, eigenval, _ = PCA(np.asarray(data).copy())
+    plt.figure()
+    ax1 = plt.subplot(3, 1, 1)
+    ax1.plot(data, "-", data_resc, ".")
+    ax2 = plt.subplot(3, 1, 2)
+    ax2.plot(1 + np.arange(0, len(eigenval)), eigenval, "s-")
+    ax2.set_ylabel("eigval")
+    ax3 = plt.subplot(3, 1, 3)
+    ax3.plot(data_resc[:, pcindices[0]], data_resc[:, pcindices[1]], ".",
+             mfc=clr1, mec=clr1)
+    ax3.set_xlabel("PC%i" % (pcindices[0],))
+    ax3.set_ylabel("PC%i" % (pcindices[1],))
+    plt.draw()
+    return ax1, ax2, ax3

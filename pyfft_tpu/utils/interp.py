@@ -8,6 +8,7 @@ re-created here from their call-site semantics, as pure JAX functions.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def interp(xi, yi, ei=None, xo=None):
@@ -59,21 +60,24 @@ def trapz_var(x, y, ey=None, vary=None, dim=0):
     ``w_i = (dx_{i-1} + dx_i)/2`` (half-weights at the ends), so the variance
     propagates as ``varI = sum_i w_i^2 var_i``.
     """
-    x = jnp.asarray(x)
-    y = jnp.asarray(y)
-    y = jnp.moveaxis(y, dim, 0)
+    import jax
+    # host inputs stay numpy: integratespectra feeds complex128 spectra,
+    # which the TPU backend can neither move nor transfer back
+    traced = any(isinstance(a, jax.core.Tracer) for a in (x, y, vary))
+    xp = jnp if traced else np
+    x = xp.asarray(x)
+    y = xp.moveaxis(xp.asarray(y), dim, 0)
     n = y.shape[0]
-    dx = jnp.diff(x)
-    w = jnp.zeros((n,), dtype=x.dtype)
-    w = w.at[:-1].add(0.5 * dx)
-    w = w.at[1:].add(0.5 * dx)
+    dx = xp.diff(x)
+    # trapezoid as a linear functional: half-weights at the ends
+    w = 0.5 * xp.concatenate([dx[:1], dx[1:] + dx[:-1], dx[-1:]])
     wb = w.reshape((n,) + (1,) * (y.ndim - 1))
-    integral = jnp.sum(wb * y, axis=0)
+    integral = xp.sum(wb * y, axis=0)
     if vary is None:
-        var = jnp.zeros_like(integral)
+        var = xp.zeros_like(integral)
     else:
-        vary = jnp.moveaxis(jnp.asarray(vary), dim, 0)
-        var = jnp.sum((wb ** 2) * vary, axis=0)
+        vary = xp.moveaxis(xp.asarray(vary), dim, 0)
+        var = xp.sum((wb ** 2) * vary, axis=0)
     return integral, var, None, None
 
 
@@ -110,8 +114,13 @@ def reshapech(x):
 
     Mirrors the reference helper used by ``integratespectra``
     (``fft_analysis.py:883-888``): 1-D inputs become a single column.
+
+    Shape-only — never converts the input: pushing host complex arrays
+    through ``jnp.asarray`` would land them on the default accelerator,
+    and the TPU backend cannot transfer complex buffers back.
     """
-    x = jnp.asarray(x)
+    if not hasattr(x, "ndim"):
+        x = np.asarray(x)
     if x.ndim == 1:
         return x[:, None]
     if x.shape[0] == 1:

@@ -131,3 +131,61 @@ def test_igch_masks_channels(data):
     drv = hp.HeatPulseFFT(runinfo, dict(data))
     drv.PreCheck()
     assert not drv.usech[1] and drv.usech.sum() == 5
+
+
+def test_perchannel_matches_batched(data):
+    """The API-parity per-channel path (``_PWELCH_ch``, reference :532-574)
+    must reproduce the batched ``_PWELCH_all`` device call exactly."""
+    a = hp.HeatPulseFFT(dict(RUNINFO), dict(data))
+    a.PreCheck()
+    a._PWELCH_settings_()
+    a._PWELCH_preallocate()
+    a._PWELCH_all()
+
+    b = hp.HeatPulseFFT(dict(RUNINFO), dict(data))
+    b.PreCheck()
+    b._PWELCH_settings_()
+    b._PWELCH_preallocate()
+    for ii in range(int(b.nch)):
+        b._PWELCH_ch(ii)
+
+    for name in ("Pxy", "Pyy", "Txy", "Amp", "Coh", "Phase", "Tnn",
+                 "Txx", "Vxy", "varA", "varC", "varP"):
+        got, want = getattr(b, name), getattr(a, name)
+        np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-12,
+                                   err_msg=name)
+
+
+def test_integrate_spectra_usesegs_shapes(data):
+    runinfo = dict(RUNINFO)
+    runinfo["usesegs"] = True
+    drv = hp.HeatPulseFFT(runinfo, dict(data))
+    drv.PreCheck()
+    drv._PWELCH_settings_()
+    drv._PWELCH_preallocate()
+    fftinfo = drv._PWELCH_all()
+    navr = int(drv.Navr)
+    # single-channel fftinfo for the per-channel compat API
+    import pyfft_tpu.spectral as spectral
+    [_, _, _, _, _, _, fi] = spectral.fft_pwelch(
+        np.asarray(drv.tt), np.asarray(drv.refsig),
+        np.asarray(drv.sig)[:, 0], np.asarray(drv.tbounds),
+        Navr=navr, windowoverlap=drv.overlap, windowfunction=drv.winfun,
+        plotit=False, verbose=False)
+    freq = np.asarray(fi.freq)
+    frange = np.asarray([freq[drv._ifk[0] - drv._ifw],
+                         freq[drv._ifk[0] + drv._ifw]])
+    out = drv.integrate_spectra(fi, frange)
+    assert len(out) == 10
+    assert all(np.shape(o) == (navr, 1) for o in out)
+
+
+def test_fit_neprofile_plot_smoke(tmp_path):
+    import matplotlib
+    matplotlib.use("Agg", force=True)
+    rng = np.random.default_rng(1)
+    roa = np.linspace(0.1, 0.9, 15)
+    ne = 5e19 * (1 - roa**2) + 5e17
+    q = dict(roa=roa, ne=ne)
+    out = hp.fit_neprofile(q, np.linspace(0.2, 0.8, 20), plotit=True)
+    assert len(out) == 4
