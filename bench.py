@@ -16,7 +16,7 @@ import time
 import numpy as np
 
 
-def _tpu_chain(x, y, taps, win, plan, iters=5):
+def _tpu_chain(x, y, taps, win, plan, iters=20):
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -40,30 +40,43 @@ def _tpu_chain(x, y, taps, win, plan, iters=5):
     Hi = jnp.asarray(H.imag.astype(np.float32))
 
     use_pallas = backend == "mxu"  # real TPU: fused single-pass kernels
+    use_v2 = False
     if use_pallas:
         from pyfft_tpu.ops.pallas_fir import fir_pallas
         from pyfft_tpu.ops.pallas_welch import (welch_pallas_fused,
-                                                pallas_welch_applicable)
-        use_pallas = pallas_welch_applicable(plan.nwins, plan.nnyquist,
-                                             plan.navr)
+                                                welch_fir_pallas_fused,
+                                                pallas_welch_applicable,
+                                                pallas_welch2_applicable)
+        use_v2 = pallas_welch2_applicable(plan.nwins, plan.noverlap,
+                                          plan.navr, nch, taps)
+        use_pallas = use_v2 or pallas_welch_applicable(
+            plan.nwins, plan.nnyquist, plan.navr)
 
     @partial(jax.jit, static_argnames=())
     def step(x_d, y_d):
         if use_pallas:
-            # stage 1: single-pass banded-matmul FIR (Pallas, bf16x3)
-            sig = jnp.concatenate([x_d[None], y_d], axis=0)
-            f = fir_pallas(sig, taps, interpret=False)
-            xf, yf = f[0], f[1:]
-            # stage 2: fused frame->windowed-DFT->cross-power (Pallas)
-            knorm = np.float32(1.0 / (norm * plan.navr))
-            Pxx, Pyy, Pxy_re, Pxy_im = welch_pallas_fused(
-                xf, yf, win, plan.nnyquist, knorm, navr=plan.navr,
-                nwins=plan.nwins, noverlap=plan.noverlap, detrend_style=1,
-                interpret=False)
             from pyfft_tpu.spectral import _onesided_power_scale
+            knorm = np.float32(1.0 / (norm * plan.navr))
             scale = jnp.asarray(
                 _onesided_power_scale(plan.nfft, plan.nnyquist)
                 .astype(np.float32))
+            if use_v2:
+                # the whole chain in ONE kernel: banded-matmul FIR ->
+                # frame -> detrend -> window -> factored MXU FFT ->
+                # cross-power accumulate (Pallas, bf16x3)
+                Pxx, Pyy, Pxy_re, Pxy_im = welch_fir_pallas_fused(
+                    x_d, y_d, win, plan.nnyquist, knorm, navr=plan.navr,
+                    nwins=plan.nwins, noverlap=plan.noverlap, taps=taps,
+                    detrend_style=1, interpret=False)
+            else:
+                # stage 1: single-pass banded-matmul FIR (Pallas, bf16x3)
+                sig = jnp.concatenate([x_d[None], y_d], axis=0)
+                f = fir_pallas(sig, taps, interpret=False)
+                # stage 2: fused frame->windowed-DFT->cross-power (Pallas)
+                Pxx, Pyy, Pxy_re, Pxy_im = welch_pallas_fused(
+                    f[0], f[1:], win, plan.nnyquist, knorm, navr=plan.navr,
+                    nwins=plan.nwins, noverlap=plan.noverlap,
+                    detrend_style=1, interpret=False)
             out = dict(Pxx=Pxx * scale, Pyy=Pyy * scale,
                        Pxy_re=Pxy_re * scale, Pxy_im=Pxy_im * scale)
         else:
@@ -93,7 +106,8 @@ def _tpu_chain(x, y, taps, win, plan, iters=5):
 
     x_d = jax.device_put(x)
     y_d = jax.device_put(y)
-    chk, r = step(x_d, y_d)
+    for _ in range(3):          # warm the compile cache AND the tunnel
+        chk, r = step(x_d, y_d)
     float(chk)
     t0 = time.perf_counter()
     for _ in range(iters):

@@ -324,12 +324,22 @@ def _welch_core_pallas(xr, yr, win_np, s1sq_enbw, *, navr, nwins, noverlap,
     ``norm`` handed to the kernel carries only S1^2*ENBW*navr and the
     vector fixup is applied to the (tiny) averaged outputs here.
     """
-    from .ops.pallas_welch import welch_pallas_fused
+    from .ops.pallas_welch import (welch_pallas_fused, welch_fir_pallas_fused,
+                                   pallas_welch2_applicable)
 
     norm = np.float32(1.0 / (s1sq_enbw * navr))
-    Pxx, Pyy, Pxy_re, Pxy_im = welch_pallas_fused(
-        xr, yr, win_np, nnyquist, norm, navr=navr, nwins=nwins,
-        noverlap=noverlap, detrend_style=detrend_style)
+    nch = 1 if np.ndim(yr) == 1 else np.shape(yr)[0]
+    if (detrend_style in (0, 1)
+            and pallas_welch2_applicable(nwins, noverlap, navr, nch)):
+        # factored-transform kernel: ~2.3x the v1 full-table throughput,
+        # and per-segment detrend exactly as the reference's hot loop
+        Pxx, Pyy, Pxy_re, Pxy_im = welch_fir_pallas_fused(
+            xr, yr, win_np, nnyquist, norm, navr=navr, nwins=nwins,
+            noverlap=noverlap, detrend_style=detrend_style)
+    else:
+        Pxx, Pyy, Pxy_re, Pxy_im = welch_pallas_fused(
+            xr, yr, win_np, nnyquist, norm, navr=navr, nwins=nwins,
+            noverlap=noverlap, detrend_style=detrend_style)
     scale = _onesided_power_scale(nfft, nnyquist).astype(np.float32)
     Pxx = np.asarray(Pxx) * scale
     Pyy = (np.asarray(Pyy) * scale).T

@@ -53,3 +53,89 @@ def test_pallas_backend_falls_back_for_complex():
                                     verbose=False)
     assert np.all(np.isfinite(np.asarray(Pxx)))
     assert len(f) == np.asarray(Pxx).shape[0]
+
+
+# --------------------------------------------------------------------------- #
+# v2: factored-transform fused kernel (FIR -> frame -> window -> two-stage
+# MXU FFT -> accumulate)
+# --------------------------------------------------------------------------- #
+
+from pyfft_tpu.ops.pallas_welch import (welch_fir_pallas_fused,
+                                        pallas_welch2_applicable)
+
+
+def _welch_oracle(x, y, win, navr, nwins, hop, taps=None, detrend=1):
+    nt = len(x)
+    if taps is not None:
+        x = np.convolve(x, taps, "full")[:nt]
+        y = np.stack([np.convolve(c, taps, "full")[:nt] for c in y])
+    nch = y.shape[0]
+    Pxx = np.zeros(nwins)
+    Pyy = np.zeros((nch, nwins))
+    Pxy = np.zeros((nch, nwins), complex)
+    for s in range(navr):
+        sl = slice(s * hop, s * hop + nwins)
+        xs = x[sl] - (x[sl].mean() if detrend else 0.0)
+        X = np.fft.fft(win * xs)
+        Pxx += np.abs(X) ** 2
+        for c in range(nch):
+            ys = y[c, sl] - (y[c, sl].mean() if detrend else 0.0)
+            Y = np.fft.fft(win * ys)
+            Pyy[c] += np.abs(Y) ** 2
+            Pxy[c] += Y * np.conj(X)
+    return Pxx, Pyy, Pxy
+
+
+@pytest.mark.parametrize("nch,nt,nwins,hop,ntaps,detrend", [
+    (3, 1 << 15, 2048, 1024, 0, 1),     # bench geometry, no FIR
+    (3, 1 << 15, 2048, 1024, 129, 1),   # fused FIR
+    (2, 1 << 14, 1024, 512, 129, 0),    # no detrend
+    (1, 1 << 14, 2048, 2048, 0, 1),     # zero overlap
+    (2, 1 << 14, 512, 128, 63, 1),      # 75% overlap, short taps
+    (3, 40000, 2048, 1024, 129, 1),     # non-multiple nt, odd navr
+])
+def test_factored_kernel_vs_oracle(nch, nt, nwins, hop, ntaps, detrend):
+    from pyfft_tpu.filters import firwin
+    rng = np.random.default_rng(nch * nt % 7919)
+    taps = (np.asarray(firwin(ntaps, [0.05, 0.45], pass_zero=False))
+            if ntaps else None)
+    x = rng.standard_normal(nt).astype(np.float32)
+    y = rng.standard_normal((nch, nt)).astype(np.float32)
+    win = np.hanning(nwins + 1)[:-1]
+    navr = (nt - (nwins - hop)) // hop
+    nov = nwins - hop
+    assert pallas_welch2_applicable(nwins, nov, navr, nch, taps, detrend)
+    nf = nwins // 2 + 1
+    Pxx, Pyy, Pr, Pi = welch_fir_pallas_fused(
+        x, y, win, nf, 1.0, navr=navr, nwins=nwins, noverlap=nov,
+        taps=taps, detrend_style=detrend, precision="highest",
+        interpret=True)
+    PxxN, PyyN, PxyN = _welch_oracle(np.float64(x), np.float64(y), win,
+                                     navr, nwins, hop, taps, detrend)
+    scl = np.max(np.abs(PxxN))
+    np.testing.assert_allclose(np.asarray(Pxx), PxxN[:nf],
+                               rtol=2e-5, atol=3e-5 * scl)
+    np.testing.assert_allclose(np.asarray(Pyy), PyyN[:, :nf],
+                               rtol=2e-5, atol=3e-5 * scl)
+    np.testing.assert_allclose(np.asarray(Pr) + 1j * np.asarray(Pi),
+                               PxyN[:, :nf], rtol=2e-5, atol=3e-5 * scl)
+
+
+def test_factored_kernel_applicability_gates():
+    taps = np.ones(129)
+    assert pallas_welch2_applicable(2048, 1024, 100, 8, taps)
+    assert not pallas_welch2_applicable(2000, 1000, 100, 8)     # not %128
+    assert not pallas_welch2_applicable(2048, 1000, 100, 8)     # hop not %128
+    assert not pallas_welch2_applicable(2048, 1024, 100, 8,
+                                        detrend_style=-1)       # linear
+    assert not pallas_welch2_applicable(384, 256, 100, 8)       # R=3 !| 128
+    assert not pallas_welch2_applicable(2048, 1024, 100, 512)   # VMEM
+
+
+def test_factored_kernel_rejects_bad_geometry():
+    with pytest.raises(ValueError, match="unsupported geometry"):
+        welch_fir_pallas_fused(np.zeros(4096, np.float32),
+                               np.zeros((1, 4096), np.float32),
+                               np.hanning(2001)[:-1], 1000, 1.0,
+                               navr=3, nwins=2000, noverlap=1000,
+                               interpret=True)
