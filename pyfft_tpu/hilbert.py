@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from .ops import mxu_fft
 
 
-__all__ = ["hilbert", "hilbert_1d", "analytic_mask"]
+__all__ = ["hilbert", "hilbert_1d", "analytic_mask", "envelope_phase"]
 
 
 @lru_cache(maxsize=None)
@@ -86,6 +86,34 @@ def hilbert(uin, nfft=None, axes=-1):
         return np.asarray(out).squeeze()
     zr, zi = _hilbert_mxu(jnp.asarray(uin), nfft=int(nfft), axis=axes)
     return (np.asarray(zr) + 1j * np.asarray(zi)).squeeze()
+
+
+@partial(jax.jit, static_argnames=("nfft", "axis"))
+def _envelope_phase_dev(u, *, nfft, axis):
+    if jax.default_backend() == "cpu":
+        z = _hilbert_xla(u, nfft=nfft, axis=axis)
+        zr, zi = jnp.real(z), jnp.imag(z)
+    else:
+        zr, zi = _hilbert_mxu(u, nfft=nfft, axis=axis)
+    return jnp.sqrt(zr * zr + zi * zi), jnp.arctan2(zi, zr)
+
+
+def envelope_phase(uin, nfft=None, axes=-1):
+    """AM/PM demodulation via the analytic signal, reduced ON DEVICE.
+
+    Returns ``(envelope, phase)`` as real arrays — the quantities the
+    reference's demod chains actually consume (``Doppler.py:214-225``
+    I/Q magnitude, ``hilbert`` docstring's instantaneous amplitude/phase)
+    — without ever materializing the complex analytic signal on the host
+    (a 2x transfer saving, and the TPU backend cannot ship complex
+    buffers at all).
+    """
+    uin = np.atleast_1d(np.asarray(uin, dtype=np.float32))
+    if nfft is None:
+        nfft = uin.shape[axes]
+    env, ph = _envelope_phase_dev(jnp.asarray(uin), nfft=int(nfft),
+                                  axis=axes)
+    return np.asarray(env).squeeze(), np.asarray(ph).squeeze()
 
 
 def hilbert_1d(uin, nfft=None):
