@@ -17,11 +17,9 @@ from __future__ import annotations
 import numpy as np
 
 from .utils.interp import sliding_window_1d
-from .utils.structure import Struct
 from .ops import transform
 from .filters import downsample, downsample_efficient  # noqa: F401 (API parity)
 from .fftanal import fftanal
-from .crosscheck import psd as _psd
 
 
 __all__ = ["cog", "cogspec", "doppler_iq_chain", "test_DopplerSignal"]
@@ -68,6 +66,34 @@ def _cog_batched(xw, fs, fmin=None, fmax=None):
     return np.sum(p * freq, axis=-1) / np.sum(p, axis=-1)
 
 
+def _psd_rows(xw, fs, nfft, fmax=None):
+    """One-segment Hann periodogram of each row, as ONE batched transform.
+
+    mlab density conventions (matches ``crosscheck.psd`` for rows whose
+    length equals ``nfft``): Hann window, ``|X|^2 / (fs * S2)``, one-sided
+    bin doubling.  Replaces the per-window ``psd`` loop of the reference
+    ``cogspec`` (``Doppler.py:96-98`` analogue) with a device batch.
+    """
+    xw = np.asarray(xw)[..., :nfft]
+    win = np.hanning(nfft)
+    X = np.asarray(transform.fft(xw * win[None, :], axis=-1))
+    P = np.abs(X) ** 2 / (fs * (win ** 2).sum())
+    nret = nfft // 2 + 1
+    P = P[..., :nret].copy()
+    if nfft % 2:
+        P[..., 1:] *= 2.0
+    else:
+        P[..., 1:-1] *= 2.0
+    F = np.abs(np.fft.fftfreq(nfft, 1.0 / fs)[:nret])
+    if nfft % 2 == 0:
+        F[-1] = fs / 2.0
+    if fmax is not None:
+        keep = F <= fmax
+        F = F[keep]
+        P = P[..., keep]
+    return P, F
+
+
 def cogspec(t, x, fs, fmin=100, fmax=500e3, n=256, win=512, ov=0.5, plotit=0):
     """Spectrum of the center-of-gravity time series.
 
@@ -91,11 +117,7 @@ def cogspec(t, x, fs, fmin=100, fmax=500e3, n=256, win=512, ov=0.5, plotit=0):
     cogw = np.asarray(cogw)
     cogfs = 1 / (tcog[1] - tcog[0]) * 1000  # kHz convention of the reference
 
-    PS = None
-    F = None
-    for jj in range(cogw.shape[0]):
-        PS2, F = _psd(cogw[jj], cogfs, nfft=win, fmax=fmax)
-        PS = PS2 if PS is None else np.vstack([PS, PS2])
+    PS, F = _psd_rows(cogw, cogfs, nfft=win, fmax=fmax)
 
     if plotit:  # pragma: no cover
         import matplotlib.pyplot as plt
@@ -184,7 +206,3 @@ def test_DopplerSignal(ampModulation=None, N=2 ** 21, plotit=False):
         plt.subplot(2, 1, 2, sharex=ax1)
         plt.plot(ft.freq, phi, "r-")
     return ft
-
-
-class DopplerStruct(Struct):
-    """Container for Doppler analysis products (kept for API symmetry)."""

@@ -92,8 +92,11 @@ def fir_flops(nt, ntaps, nch=1, method="overlap-save"):
 
 
 _PEAKS = {
-    # (bf16 matmul TFLOP/s, f32 vector TFLOP/s, HBM GB/s) per chip
-    "v5e": (394.0, 0.9 * 197.0, 819.0),
+    # (bf16 matmul TFLOP/s, f32 vector TFLOP/s, HBM GB/s) per chip.
+    # NOTE: these are the *bf16* MXU peaks — v5e advertises 394 TOPS only
+    # for int8; its bf16 matmul peak is 197 TFLOP/s.  Using the int8 number
+    # would flatter every roofline fraction by 2x.
+    "v5e": (197.0, 0.9 * 98.5, 819.0),
     "v5p": (459.0, 0.9 * 229.0, 2765.0),
     "v4": (275.0, 0.9 * 137.0, 1228.0),
     "cpu": (0.2, 0.1, 50.0),

