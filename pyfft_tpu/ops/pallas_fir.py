@@ -43,7 +43,7 @@ from jax.experimental import pallas as pl
 
 from .precision import dot_bf16x3, resolve_kernel_precision
 
-__all__ = ["fir_pallas", "PALLAS_FIR_MAX_TAPS"]
+__all__ = ["fir_pallas", "fir_transpose_pallas", "PALLAS_FIR_MAX_TAPS"]
 
 PALLAS_FIR_MAX_TAPS = 1024  # m = 8 shifted matmuls; beyond this use overlap-save
 
@@ -85,10 +85,13 @@ def _band_blocks(taps_key, kprec):
     return tuple(blocks)
 
 
-def _fir_kernel(x_ref, halo_ref, *refs, m, rows, kprec):
+def _fir_kernel(x_ref, halo_ref, *refs, m, rows, kprec, transposed):
     """One (1, R, 128) output tile: shifted banded matmuls over m+R rows."""
     band_refs, out_ref = refs[:-1], refs[-1]
-    x = jnp.concatenate([halo_ref[0, 0], x_ref[0]], axis=0)  # (m+R, 128)
+    if m == 0:           # taps fit one block row: no halo stream
+        x = x_ref[0]
+    else:
+        x = jnp.concatenate([halo_ref[0, 0], x_ref[0]], axis=0)  # (m+R, 128)
     acc = None
     for s in range(m + 1):
         xs = x[s:rows + s]
@@ -102,25 +105,39 @@ def _fir_kernel(x_ref, halo_ref, *refs, m, rows, kprec):
                         precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)
         acc = t if acc is None else acc + t
-    out_ref[...] = acc[None]
+    out_ref[...] = acc if transposed else acc[None]
 
 
-def _fir_call(xr, halo, bands_flat, *, m, rows, kprec, interpret):
+def _fir_call(xr, halo, bands_flat, *, m, rows, kprec, interpret,
+              transposed=False):
     nch, nrows, _ = xr.shape
     nrb = nrows // rows
     grid = (nch, nrb)
     band_specs = [pl.BlockSpec(b.shape, lambda c, r: (0, 0))
                   for b in bands_flat]
+    if transposed:
+        # write y[row, c*128:(c+1)*128]: the channel-major -> row-major
+        # relayout the downstream v3 welch kernel wants happens through
+        # the output DMA for free.  Emitting the rank-2 (nrows, C*128)
+        # layout directly (lane-blocked BlockSpec) lets the consumer use
+        # the array with no XLA slice/copy in between.
+        out_specs = pl.BlockSpec((rows, _LANES), lambda c, r: (r, c))
+        out_shape = jax.ShapeDtypeStruct((nrows, nch * _LANES), jnp.float32)
+    else:
+        out_specs = pl.BlockSpec((1, rows, _LANES), lambda c, r: (c, r, 0))
+        out_shape = jax.ShapeDtypeStruct((nch, nrows, _LANES), jnp.float32)
     return pl.pallas_call(
-        partial(_fir_kernel, m=m, rows=rows, kprec=kprec),
+        partial(_fir_kernel, m=m, rows=rows, kprec=kprec,
+                transposed=transposed),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, rows, _LANES), lambda c, r: (c, r, 0)),
-            pl.BlockSpec((1, 1, m, _LANES), lambda c, r: (c, r, 0, 0)),
+            pl.BlockSpec((1, 1, max(m, 1), _LANES),
+                         lambda c, r: (c, r, 0, 0)),
             *band_specs,
         ],
-        out_specs=pl.BlockSpec((1, rows, _LANES), lambda c, r: (c, r, 0)),
-        out_shape=jax.ShapeDtypeStruct((nch, nrows, _LANES), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * nch * nrows * _LANES * (m + 1) * _LANES,
             bytes_accessed=4 * (2 * xr.size + halo.size),
@@ -130,8 +147,10 @@ def _fir_call(xr, halo, bands_flat, *, m, rows, kprec, interpret):
 
 
 @partial(jax.jit,
-         static_argnames=("K", "m", "rows", "kprec", "interpret"))
-def _fir_pipeline(x, bands_flat, *, K, m, rows, kprec, interpret):
+         static_argnames=("K", "m", "rows", "kprec", "interpret",
+                          "transposed"))
+def _fir_pipeline(x, bands_flat, *, K, m, rows, kprec, interpret,
+                  transposed=False):
     """Row view -> halo gather -> kernel; one device dispatch.
 
     HBM passes: (optional) tail pad of ``x``, one kernel read+write, and
@@ -148,22 +167,32 @@ def _fir_pipeline(x, bands_flat, *, K, m, rows, kprec, interpret):
 
     # halo for tile b: rows [b*R - m, b*R); zeros for b=0 (causal lead-in)
     nrb = nrows // rows
-    idx = (np.arange(nrb) * rows)[:, None] + np.arange(-m, 0)[None, :]
-    halo = jnp.take(xr, jnp.asarray(np.maximum(idx.reshape(-1), 0)), axis=1)
-    halo = halo.reshape(nch, nrb, m, _LANES)
-    halo = halo.at[:, 0].set(0.0)
+    if m == 0:
+        halo = jnp.zeros((nch, nrb, 1, _LANES), xr.dtype)  # unread dummy
+    else:
+        idx = (np.arange(nrb) * rows)[:, None] + np.arange(-m, 0)[None, :]
+        halo = jnp.take(xr, jnp.asarray(np.maximum(idx.reshape(-1), 0)),
+                        axis=1)
+        halo = halo.reshape(nch, nrb, m, _LANES)
+        halo = halo.at[:, 0].set(0.0)
 
     y = _fir_call(xr, halo, bands_flat, m=m, rows=rows, kprec=kprec,
-                  interpret=interpret)
+                  interpret=interpret, transposed=transposed)
+    if transposed:
+        return y                      # (nrows, nch*128), padded rows kept
     y = y.reshape(nch, L)
     return y if L == nt else y[:, :nt]
 
 
-def fir_pallas(x, taps, block_rows=512, interpret=None, precision=None):
+def fir_pallas(x, taps, block_rows=512, interpret=None, precision=None,
+               transposed_out=False):
     """Causal FIR filter of ``x (nch, nt)`` (or ``(nt,)``) with ``taps``.
 
     Matches ``np.convolve(x, taps, mode='full')[:nt]`` per channel (the
-    convention of :func:`pyfft_tpu.filters.fir_filter`).
+    convention of :func:`pyfft_tpu.filters.fir_filter`).  With
+    ``transposed_out=True`` the result is returned as the row-major
+    ``(nrows, nch*128)`` tile layout (padded rows included) consumed by
+    the v3 fused Welch kernel — the transpose rides the output DMA.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -184,5 +213,146 @@ def fir_pallas(x, taps, block_rows=512, interpret=None, precision=None):
     bands = _band_blocks(tuple(taps.tolist()), kprec)
     bands_flat = tuple(b for blk in bands for b in blk)
     y = _fir_pipeline(x, bands_flat, K=K, m=m, rows=rows,
-                      kprec=kprec, interpret=bool(interpret))
+                      kprec=kprec, interpret=bool(interpret),
+                      transposed=bool(transposed_out))
+    if transposed_out:
+        return y
     return y[0] if squeeze else y
+
+
+# --------------------------------------------------------------------------- #
+# FIR + transpose fused feeder for the v3 Welch kernel
+# --------------------------------------------------------------------------- #
+#
+# ``fir_transpose_pallas`` reads the ORIGINAL ``x (nt,)`` / ``y (nch, nt)``
+# arrays (free row views — no concatenate, no pad: XLA materializes each of
+# those as a full-signal HBM copy, which profiling showed cost more than the
+# FIR itself) and writes the filtered, channel-interleaved ``(nrows_out,
+# (nch+1)*128)`` layout the v3 kernel streams.  Tail rows past the signal
+# are zero-filled by dedicated grid steps; input index maps clamp in-bounds.
+
+
+def _fir_t_kernel(x_ref, y_ref, xh_ref, yh_ref, *refs, m, rows, kprec,
+                  nrb_sig):
+    band_refs, out_ref = refs[:-1], refs[-1]
+    c = pl.program_id(0)
+    r = pl.program_id(1)
+
+    @pl.when(r >= nrb_sig)
+    def _tail():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(r < nrb_sig)
+    def _body():
+        blk = jnp.where(c == 0, x_ref[...], y_ref[0])        # (rows, 128)
+        if m:
+            h = jnp.where(c == 0, xh_ref[0], yh_ref[0, 0])   # (m, 128)
+            xfull = jnp.concatenate([h, blk], axis=0)
+        else:
+            xfull = blk
+        acc = None
+        for s in range(m + 1):
+            xs = xfull[s:rows + s]
+            if kprec == "bf16x3":
+                t = dot_bf16x3(xs, band_refs[2 * s][...],
+                               band_refs[2 * s + 1][...])
+            elif kprec == "bf16":
+                t = jnp.dot(xs.astype(jnp.bfloat16), band_refs[s][...],
+                            preferred_element_type=jnp.float32)
+            else:
+                t = jnp.dot(xs, band_refs[s][...],
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+            acc = t if acc is None else acc + t
+        out_ref[...] = acc
+
+
+@partial(jax.jit, static_argnames=("K", "m", "rows", "nrows_out", "kprec",
+                                   "interpret"))
+def _fir_t_pipeline(x, y, bands_flat, *, K, m, rows, nrows_out, kprec,
+                    interpret):
+    nch, nt = y.shape
+    C = nch + 1
+    nr = nt // _LANES
+    nrb_sig = nr // rows
+    nrb_out = nrows_out // rows
+    xr = x.reshape(nr, _LANES)
+    yr = y.reshape(nch, nr, _LANES)
+
+    # per-tile causal halos (tiny gathers; zeros for the first tile)
+    if m:
+        idx = (np.arange(nrb_sig) * rows)[:, None] + np.arange(-m, 0)[None]
+        gidx = jnp.asarray(np.maximum(idx.reshape(-1), 0))
+        xh = jnp.take(xr, gidx, axis=0).reshape(nrb_sig, m, _LANES)
+        xh = xh.at[0].set(0.0)
+        yh = jnp.take(yr, gidx, axis=1).reshape(nch, nrb_sig, m, _LANES)
+        yh = yh.at[:, 0].set(0.0)
+    else:
+        xh = jnp.zeros((nrb_sig, 1, _LANES), jnp.float32)
+        yh = jnp.zeros((nch, nrb_sig, 1, _LANES), jnp.float32)
+    mh = max(m, 1)
+
+    cl = nrb_sig - 1                       # clamp for the zero-tail steps
+    return pl.pallas_call(
+        partial(_fir_t_kernel, m=m, rows=rows, kprec=kprec,
+                nrb_sig=nrb_sig),
+        grid=(C, nrb_out),
+        in_specs=[
+            pl.BlockSpec((rows, _LANES),
+                         lambda c, r: (jnp.minimum(r, cl), 0)),
+            pl.BlockSpec((1, rows, _LANES),
+                         lambda c, r: (jnp.maximum(c - 1, 0),
+                                       jnp.minimum(r, cl), 0)),
+            pl.BlockSpec((1, mh, _LANES),
+                         lambda c, r: (jnp.minimum(r, cl), 0, 0)),
+            pl.BlockSpec((1, 1, mh, _LANES),
+                         lambda c, r: (jnp.maximum(c - 1, 0),
+                                       jnp.minimum(r, cl), 0, 0)),
+            *[pl.BlockSpec(b.shape, lambda c, r: (0, 0))
+              for b in bands_flat],
+        ],
+        out_specs=pl.BlockSpec((rows, _LANES), lambda c, r: (r, c)),
+        out_shape=jax.ShapeDtypeStruct((nrows_out, C * _LANES), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * C * nrows_out * _LANES * (m + 1) * _LANES,
+            bytes_accessed=8 * C * nrows_out * _LANES,
+            transcendentals=0),
+        interpret=interpret,
+    )(xr, yr, xh, yh, *bands_flat)
+
+
+def fir_transpose_pallas(x, y, taps, nrows_out, interpret=None,
+                         precision=None, block_rows=512):
+    """Filter ``[x; y]`` and emit the v3 row-major ``(nrows_out, C*128)``
+    signal layout in one kernel, reading ``x``/``y`` in place.
+
+    Requires ``nt % 128 == 0`` (callers fall back to
+    :func:`fir_pallas` + explicit padding otherwise).  Rows past the
+    signal are zeros.  ``taps=(1.0,)`` gives a pure transpose/interleave.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    kprec = resolve_kernel_precision(precision)
+    taps = np.asarray(taps, dtype=np.float64)
+    K = taps.size
+    if K > PALLAS_FIR_MAX_TAPS:
+        raise ValueError(f"{K} taps > {PALLAS_FIR_MAX_TAPS}")
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    nt = x.shape[-1]
+    if nt % _LANES:
+        raise ValueError("fir_transpose_pallas needs nt % 128 == 0")
+    nr = nt // _LANES
+    m = -(-(K - 1) // _LANES)
+    rows = int(max(1, min(block_rows, 1024)))
+    while nr % rows or nrows_out % rows:
+        rows //= 2
+        if rows < 1:
+            raise ValueError(f"no block size divides nr={nr}")
+    if rows <= m:
+        raise ValueError("taps too long for the row blocking")
+    bands = _band_blocks(tuple(taps.tolist()), kprec)
+    bands_flat = tuple(b for blk in bands for b in blk)
+    return _fir_t_pipeline(x, y, bands_flat, K=K, m=m, rows=rows,
+                           nrows_out=nrows_out, kprec=kprec,
+                           interpret=bool(interpret))

@@ -569,8 +569,12 @@ def _v2_geometry(nwins, noverlap, navr, nch, taps=None, seg_block=None):
 def pallas_welch2_applicable(nwins, noverlap, navr, nch=8, taps=None,
                              detrend_style=1):
     """Whether :func:`welch_fir_pallas_fused` supports this geometry."""
-    return (detrend_style in (0, 1)
-            and _v2_geometry(nwins, noverlap, navr, nch, taps) is not None)
+    from .pallas_fir import PALLAS_FIR_MAX_TAPS
+    from .pallas_welch3 import pallas_welch3_applicable
+    if taps is not None and np.size(taps) > PALLAS_FIR_MAX_TAPS:
+        return False
+    return pallas_welch3_applicable(nwins, noverlap, navr, min(nch, 15),
+                                    detrend_style)
 
 
 @partial(jax.jit, static_argnames=("navr", "nwins", "noverlap", "taps_key",
@@ -649,14 +653,19 @@ def welch_fir_pallas_fused(x, y, win, nfreq, norm, *, navr, nwins, noverlap,
                            interpret=None):
     """One-sided Welch cross-powers with an optional fused FIR pre-filter.
 
-    The v2 factored-transform kernel: ``x (nt,)`` reference, ``y (nch, nt)``
-    channels, optional ``taps`` applied causally (``np.convolve(sig, taps,
-    'full')[:nt]``) to ALL channels inside the same kernel.  Returns
-    ``(Pxx (nfreq,), Pyy (nch, nfreq), Pxy_re, Pxy_im)`` scaled by ``norm``
-    (segment-averaged when ``norm`` folds ``1/navr``); the caller applies
-    the one-sided bin doubling (as with :func:`welch_pallas_fused`).
-    Detrend here is PER SEGMENT (mean or none), matching the reference's
-    ``win * detrend(sig[ist:ist+nwins])`` (fft_analysis.py:386).
+    ``x (nt,)`` reference, ``y (nch, nt)`` channels, optional ``taps``
+    applied causally (``np.convolve(sig, taps, 'full')[:nt]``) to ALL
+    channels on-device.  Returns ``(Pxx (nfreq,), Pyy (nch, nfreq),
+    Pxy_re, Pxy_im)`` scaled by ``norm`` (segment-averaged when ``norm``
+    folds ``1/navr``); the caller applies the one-sided bin doubling (as
+    with :func:`welch_pallas_fused`).  Detrend is the **global** mean of
+    the (filtered) analyzed span, matching the reference's pre-loop
+    detrend (fft_analysis.py:357-358) and the mxu/xla cores.
+
+    Dispatches to the v3 all-matmul kernel
+    (:func:`pyfft_tpu.ops.pallas_welch3.welch_fir_pallas3`, channel-grouped
+    for wide arrays); the in-kernel-FIR v2 path below is retained for
+    direct benchmarking but no longer covers any geometry v3 does not.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -665,6 +674,26 @@ def welch_fir_pallas_fused(x, y, win, nfreq, norm, *, navr, nwins, noverlap,
     y = jnp.asarray(y, jnp.float32)
     if y.ndim == 1:
         y = y[None]
+    # prefer the all-matmul v3 kernel whenever its geometry holds.  Large
+    # channel counts run v3 in groups (the VMEM cap is per-dispatch); the
+    # reference spectrum is recomputed per group, a negligible overhead.
+    from .pallas_welch3 import pallas_welch3_applicable, welch_fir_pallas3
+    _V3_MAX_CH = 15
+    if pallas_welch3_applicable(nwins, noverlap, navr,
+                                min(y.shape[0], _V3_MAX_CH), detrend_style):
+        def _v3(yy):
+            return welch_fir_pallas3(
+                x, yy, win, nfreq, norm, navr=navr, nwins=nwins,
+                noverlap=noverlap, taps=taps, detrend_style=detrend_style,
+                precision=precision, interpret=interpret)
+        if y.shape[0] <= _V3_MAX_CH:
+            return _v3(y)
+        outs = [_v3(y[i:i + _V3_MAX_CH])
+                for i in range(0, y.shape[0], _V3_MAX_CH)]
+        Pxx = outs[0][0]
+        return (Pxx, jnp.concatenate([o[1] for o in outs], axis=0),
+                jnp.concatenate([o[2] for o in outs], axis=0),
+                jnp.concatenate([o[3] for o in outs], axis=0))
     taps_key = (tuple(np.asarray(taps, np.float64).tolist())
                 if taps is not None else None)
     if _v2_geometry(nwins, noverlap, navr, y.shape[0],

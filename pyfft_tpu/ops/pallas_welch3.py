@@ -1,0 +1,435 @@
+"""Pallas TPU kernel v3: all-matmul fused Welch cross-power pipeline.
+
+Third-generation fused Welch kernel (role of the reference's hot segment
+loop, ``fft_analysis.py:362-388``).  Same factored-transform math as the v2
+kernel in :mod:`pyfft_tpu.ops.pallas_welch` — sample ``n = 128 r + l``,
+stage A = R-point DFT over rows, twiddle, stage B = 128-point DFT over
+lanes, bin ``k = q + R p`` — but restructured so that every data-movement
+step that v2 did with VPU shuffles is a dense MXU matmul, and every
+channel is batched into the same matmul instead of looped:
+
+- the signal lives in HBM as ``(nrows, C*128)`` — time rows outer,
+  channels tiled along lanes (the FIR kernel writes this layout directly
+  via a transposed output BlockSpec, so the relayout is free);
+- segment **gather** (v2: per-segment ``lax.slice`` + ``concatenate``) is
+  a 0/1 banded matmul ``st = G @ rows`` — exact in two bf16 passes
+  because G is 0/1 and the f32 operand is hi/lo split;
+- stage A is ONE block-diagonal ``(128,128) @ (128, C*128)`` product for
+  all channels and all ``Sseg`` segments of the step;
+- stage B uses the 3-multiplication (Karatsuba) complex product
+  ``m1 = Br C, m2 = Bi S, m3 = (Br+Bi)(C+S)`` — 25% fewer MXU passes
+  than the 4-product form;
+- cross/auto powers accumulate in VMEM across the grid; only the
+  ``(R, C, 128)`` averaged spectra ever reach HBM.
+
+Detrend semantics: **global** mean removal, exactly like the reference
+(``fft_analysis.py:357-358`` detrends the full analyzed span before the
+segment loop; the per-segment variant there is commented out) and like
+the framework's mxu/xla cores.  The means are computed in the XLA
+prologue (zero-padding keeps device sums exact) and subtracted in-kernel
+as a per-channel broadcast, so the kernel itself stays mean-free.
+
+Geometry: ``nwins % 128 == 0``, ``128 % (nwins/128) == 0``, and
+``hop % 128 == 0`` (the 50%-overlap power-of-two configs of BASELINE).
+Other geometries fall back to v2 / v1 / the mxu path.
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .precision import split_bf16, resolve_kernel_precision
+
+__all__ = ["welch_fir_pallas3", "pallas_welch3_applicable"]
+
+_LANES = 128
+
+
+# --------------------------------------------------------------------------- #
+# Geometry
+# --------------------------------------------------------------------------- #
+
+def _v3_geometry(nwins, noverlap, nch):
+    """(R, hr, Sseg, blk, L) when the v3 kernel applies, else None."""
+    if nwins % _LANES:
+        return None
+    R = nwins // _LANES
+    if _LANES % R:
+        return None
+    hop = nwins - noverlap
+    if hop <= 0 or hop % _LANES:
+        return None
+    hr = hop // _LANES
+    Sseg = _LANES // R
+    blk = Sseg * hr
+    L = blk + R
+    if L > 2 * _LANES:          # keep the gather contraction <= 2 K-tiles
+        return None
+    if blk % R:                 # head BlockSpec addresses in units of R rows
+        return None
+    if nch + 1 > 16:            # VMEM: ~18 live f32 (128, C*128) buffers
+        return None
+    return R, hr, Sseg, blk, L
+
+
+def pallas_welch3_applicable(nwins, noverlap, navr, nch=8, detrend_style=1):
+    """Whether :func:`welch_fir_pallas3` supports this configuration."""
+    return (detrend_style in (0, 1)
+            and _v3_geometry(nwins, noverlap, nch) is not None)
+
+
+# --------------------------------------------------------------------------- #
+# Constant tables (host numpy; jit closes over them)
+# --------------------------------------------------------------------------- #
+
+def _split(M, kprec):
+    """Table -> tuple of per-precision operands (f32 | bf16 | bf16 hi/lo)."""
+    import ml_dtypes
+    bf16 = ml_dtypes.bfloat16
+    M32 = np.asarray(M, np.float64).astype(np.float32)
+    if kprec == "highest":
+        return (M32,)
+    if kprec == "bf16":
+        return (M32.astype(bf16),)
+    hi = M32.astype(bf16)
+    return (hi, (M32 - hi.astype(np.float32)).astype(bf16))
+
+
+@lru_cache(maxsize=8)
+def _v3_tables_host(nwins, hr, C, win_key, kprec):
+    """All constant operands for the v3 kernel, flattened with a layout map.
+
+    Returns ``(flat_tables, counts)`` where counts records how many
+    operands each logical table contributed (for unflattening in-kernel).
+    """
+    import ml_dtypes
+    R = nwins // _LANES
+    Sseg = _LANES // R
+    blk = Sseg * hr
+    L = blk + R
+    win = np.asarray(win_key, np.float64)
+
+    # gather: G[s*R + r, s*hr + r] = 1 (0/1: exact in a single bf16 table)
+    G = np.zeros((_LANES, L))
+    for s in range(Sseg):
+        for r in range(R):
+            G[s * R + r, s * hr + r] = 1.0
+    Gt = (G.astype(np.float32),) if kprec == "highest" else \
+         (G.astype(ml_dtypes.bfloat16),)
+    groups = [("G", Gt)]
+
+    # stage A: block-diagonal R-point DFT over the Sseg segment blocks
+    q = np.arange(R)
+    ang = 2.0 * np.pi * np.outer(q, q) / R
+    D = np.zeros((_LANES, _LANES))
+    Di = np.zeros((_LANES, _LANES))
+    for s in range(Sseg):
+        sl = slice(s * R, (s + 1) * R)
+        D[sl, sl] = np.cos(ang)
+        Di[sl, sl] = -np.sin(ang)
+    groups += [("D", _split(D, kprec)), ("Di", _split(Di, kprec))]
+
+    # elementwise constants, tiled to the (128, C*128) layout (f32, VPU)
+    l = np.arange(_LANES)
+    Wrl = win.reshape(R, _LANES)                       # w[128 r + l]
+    W_big = np.tile(np.tile(Wrl, (Sseg, 1)), (1, C)).astype(np.float32)
+    tang = 2.0 * np.pi * np.outer(q, l) / nwins        # W_N^{l q}
+    Tr = np.tile(np.tile(np.cos(tang), (Sseg, 1)), (1, C)).astype(np.float32)
+    Ti = np.tile(np.tile(-np.sin(tang), (Sseg, 1)), (1, C)).astype(np.float32)
+    groups += [("W", (W_big,)), ("Tr", (Tr,)), ("Ti", (Ti,))]
+
+    # stage B: 128-point DFT over lanes, Karatsuba 3-product tables
+    bang = 2.0 * np.pi * np.outer(l, l) / _LANES
+    Cb = np.cos(bang)
+    Sb = -np.sin(bang)
+    groups += [("Cb", _split(Cb, kprec)), ("Sb", _split(Sb, kprec)),
+               ("CpS", _split(Cb + Sb, kprec))]
+
+    flat = tuple(t for _, ts in groups for t in ts)
+    counts = tuple((name, len(ts)) for name, ts in groups)
+    return flat, counts
+
+
+# --------------------------------------------------------------------------- #
+# Kernel
+# --------------------------------------------------------------------------- #
+
+def _d(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _ldot_const(tabs, xh, xl, kprec):
+    """``T @ x`` with constant T (pre-split) and runtime x (pre-split)."""
+    if kprec == "highest":
+        return jnp.dot(tabs[0][...], xh, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+    if kprec == "bf16":
+        return _d(tabs[0][...], xh)
+    Th, Tl = tabs[0][...], tabs[1][...]
+    return _d(Th, xh) + _d(Tl, xh) + _d(Th, xl)
+
+
+def _rdot_const(xh, xl, tabs, kprec):
+    """``x @ T`` with constant T (pre-split) and runtime x (pre-split)."""
+    if kprec == "highest":
+        return jnp.dot(xh, tabs[0][...], precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+    if kprec == "bf16":
+        return _d(xh, tabs[0][...])
+    Th, Tl = tabs[0][...], tabs[1][...]
+    return _d(xh, Th) + _d(xh, Tl) + _d(xl, Th)
+
+
+def _rsplit(x, kprec):
+    """Runtime operand split matching the table convention."""
+    if kprec == "highest":
+        return x, None
+    if kprec == "bf16":
+        return x.astype(jnp.bfloat16), None
+    return split_bf16(x)
+
+
+def _v3_kernel(cur_ref, head_ref, mrow_ref, *refs, counts, C, R, Sseg, navr,
+               blk, unroll, kprec):
+    """Grid ``(nb,)``: ``unroll`` chunks of Sseg segments x C channels per
+    step, all-matmul.  The unroll amortizes per-grid-step pipeline overhead
+    (measured ~5us/step) over several chunks sharing one table residency."""
+    tabs = {}
+    i = 0
+    for name, n in counts:
+        tabs[name] = refs[i:i + n]
+        i += n
+    auto_ref, xre_ref, xim_ref = refs[i:i + 3]
+    b = pl.program_id(0)
+
+    def chunk(k):
+        lo = k * blk
+        if k < unroll - 1:
+            rows = cur_ref[lo:lo + blk + R]
+        else:
+            rows = jnp.concatenate([cur_ref[lo:lo + blk], head_ref[...]],
+                                   axis=0)                       # (L, N)
+        rh, rl = _rsplit(rows, kprec)
+
+        # gather Sseg segments of all C channels: (128, N), row = s*R + r
+        if kprec == "highest":
+            st = jnp.dot(tabs["G"][0][...], rows,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+        else:
+            st = _d(tabs["G"][0][...], rh)
+            if rl is not None:
+                st = st + _d(tabs["G"][0][...], rl)
+
+        # global-mean detrend (per-channel broadcast), window, validity mask
+        rowseg = (jax.lax.broadcasted_iota(jnp.int32, (_LANES, 1), 0) // R
+                  + (b * unroll + k) * Sseg)
+        mask = (rowseg < navr).astype(jnp.float32)
+        stw = (st - mrow_ref[...]) * tabs["W"][0][...] * mask
+
+        # stage A: block-diagonal R-point DFT (all segments, all channels)
+        sh, sl = _rsplit(stw, kprec)
+        Ar = _ldot_const(tabs["D"], sh, sl, kprec)
+        Ai = _ldot_const(tabs["Di"], sh, sl, kprec)
+
+        # twiddle (VPU elementwise, tiled constants)
+        Trt = tabs["Tr"][0][...]
+        Tit = tabs["Ti"][0][...]
+        Br = Ar * Trt - Ai * Tit
+        Bi = Ar * Tit + Ai * Trt
+
+        # stage B input: per-channel lane-group slices stacked channel-major
+        # — pure (128,128) tile copies, no lane-crossing shuffles (the
+        # row-major reshape would interleave channels into rows: a relayout)
+        Br2 = jnp.concatenate(
+            [Br[:, c * _LANES:(c + 1) * _LANES] for c in range(C)], axis=0)
+        Bi2 = jnp.concatenate(
+            [Bi[:, c * _LANES:(c + 1) * _LANES] for c in range(C)], axis=0)
+
+        # stage B: 128-point DFT over lanes, 3-product complex multiply
+        bh, bl = _rsplit(Br2, kprec)
+        ch, cl = _rsplit(Bi2, kprec)
+        m1 = _rdot_const(bh, bl, tabs["Cb"], kprec)
+        m2 = _rdot_const(ch, cl, tabs["Sb"], kprec)
+        ssum = Br2 + Bi2
+        sh2, sl2 = _rsplit(ssum, kprec)
+        m3 = _rdot_const(sh2, sl2, tabs["CpS"], kprec)
+        Xr = m1 - m2
+        Xi = m3 - m1 - m2
+
+        # powers, channel-major: rows are (c, s, q), so the reshape only
+        # splits untiled leading dims; broadcasts ride untiled axes
+        X3r = Xr.reshape(C, Sseg, R, _LANES)
+        X3i = Xi.reshape(C, Sseg, R, _LANES)
+        xr0 = X3r[0]                                       # reference (c=0)
+        xi0 = X3i[0]
+        auto = jnp.sum(X3r * X3r + X3i * X3i, axis=1)      # (C, R, 128)
+        xre = jnp.sum(X3r * xr0[None] + X3i * xi0[None], axis=1)
+        xim = jnp.sum(X3i * xr0[None] - X3r * xi0[None], axis=1)
+        return auto, xre, xim
+
+    auto, xre, xim = chunk(0)
+    for k in range(1, unroll):
+        a, re, im = chunk(k)
+        auto += a
+        xre += re
+        xim += im
+
+    @pl.when(b == 0)
+    def _init():
+        auto_ref[...] = auto
+        xre_ref[...] = xre
+        xim_ref[...] = xim
+
+    @pl.when(b != 0)
+    def _accum():
+        auto_ref[...] += auto
+        xre_ref[...] += xre
+        xim_ref[...] += xim
+
+
+# --------------------------------------------------------------------------- #
+# Pipeline
+# --------------------------------------------------------------------------- #
+
+@partial(jax.jit, static_argnames=("navr", "nwins", "noverlap", "taps_key",
+                                   "win_key", "detrend_style", "kprec",
+                                   "interpret"))
+def _v3_pipeline(x, y, norm, *, navr, nwins, noverlap, taps_key, win_key,
+                 detrend_style, kprec, interpret):
+    nch, nt = y.shape
+    C = nch + 1
+    N = C * _LANES
+    R, hr, Sseg, blk, L = _v3_geometry(nwins, noverlap, nch)
+    nchunks = -(-navr // Sseg)
+    # amortize per-grid-step pipeline overhead over several chunks, but not
+    # past the point where the cur block stops fitting VMEM comfortably
+    unroll = max(1, min(4, nchunks, (3 * 1024 * 1024) // (2 * 4 * blk * N)))
+    nb = -(-nchunks // unroll)
+    need_rows = (nb * unroll + 1) * blk         # head of the last step
+    nrows = -(-need_rows // 512) * 512          # FIR kernel block multiple
+    Ltot = nrows * _LANES
+
+    from .pallas_fir import fir_pallas, fir_transpose_pallas
+
+    # global-mean detrend moments of the *filtered* span, computed on the
+    # cheap (C, nt) layout before the FIR and corrected exactly for the
+    # causal convolution:  sum(conv(x, t)[:nt]) = sum_k t_k (S - T_k)
+    # with T_k the sum of the last k samples
+    taps_np = np.asarray(taps_key if taps_key else (1.0,), np.float64)
+    K = taps_np.size
+    if detrend_style == 1:
+        S = jnp.concatenate([jnp.sum(x[:nt])[None],
+                             jnp.sum(y[:, :nt], axis=-1)])   # (C,)
+        if K > 1:
+            sig_tail = jnp.concatenate(
+                [x[None, nt - (K - 1):nt], y[:, nt - (K - 1):nt]], axis=0)
+            tail = sig_tail[:, ::-1]                         # (C, K-1)
+            T = jnp.concatenate(
+                [jnp.zeros((C, 1), jnp.float32), jnp.cumsum(tail, axis=-1)],
+                axis=-1)                                     # (C, K)
+            m_ch = ((S[:, None] - T)
+                    @ jnp.asarray(taps_np, jnp.float32)) / nt
+        else:
+            m_ch = S * (np.float32(taps_np[0]) / nt)
+        m_row = jnp.repeat(m_ch, _LANES, total_repeat_length=N)[None]
+    else:
+        m_row = jnp.zeros((1, N), jnp.float32)
+
+    # the banded-matmul FIR writes the (nrows, C*128) row-major layout
+    # directly through its output BlockSpec (identity taps when no filter
+    # is requested — far cheaper than an XLA transpose of the signal).
+    # The in-place feeder avoids every concatenate/pad copy of the signal;
+    # lane-unaligned nt falls back to the padded path.
+    if nt % _LANES == 0:
+        sig2 = fir_transpose_pallas(x, y, taps_np, nrows,
+                                    interpret=interpret, precision=kprec)
+    else:
+        sig = jnp.concatenate([x[None], y], axis=0)
+        sig = jnp.concatenate(
+            [sig, jnp.zeros((C, Ltot - nt), jnp.float32)], axis=1)
+        sig2 = fir_pallas(sig, taps_np, interpret=interpret,
+                          transposed_out=True, precision=kprec)
+
+    tables, counts = _v3_tables_host(nwins, hr, C, win_key, kprec)
+
+    hpr = blk // R                              # head offset in R-row units
+    in_specs = [
+        pl.BlockSpec((unroll * blk, N), lambda b: (b, 0)),
+        pl.BlockSpec((R, N), lambda b: ((b + 1) * unroll * hpr, 0)),
+        pl.BlockSpec((1, N), lambda b: (0, 0)),
+        *[pl.BlockSpec(t.shape, lambda b: tuple(0 for _ in t.shape))
+          for t in tables],
+    ]
+    out_specs = [pl.BlockSpec((C, R, _LANES), lambda b: (0, 0, 0))] * 3
+    out_shape = [jax.ShapeDtypeStruct((C, R, _LANES), jnp.float32)] * 3
+
+    passes = {"highest": 6, "bf16x3": 3, "bf16": 1}[kprec]
+    mm = (2 + 2 * passes + 3 * passes) * _LANES * _LANES * N
+    flops = 2 * nb * unroll * mm
+
+    auto, xre, xim = pl.pallas_call(
+        partial(_v3_kernel, counts=counts, C=C, R=R, Sseg=Sseg, navr=navr,
+                blk=blk, unroll=unroll, kprec=kprec),
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=4 * (nb + 1) * blk * N,
+                                      transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(sig2, sig2, m_row, *map(jnp.asarray, tables))
+
+    # natural order: bin k = q + R p lives at [q, p]
+    def natural(o):                              # (C, R, 128) -> (C, nwins)
+        return o.transpose(0, 2, 1).reshape(C, nwins) * norm
+    A = natural(auto)
+    Re = natural(xre)
+    Im = natural(xim)
+    return A[0], A[1:], Re[1:], Im[1:]
+
+
+def welch_fir_pallas3(x, y, win, nfreq, norm, *, navr, nwins, noverlap,
+                      taps=None, detrend_style=1, precision=None,
+                      interpret=None):
+    """One-sided Welch cross-powers + optional fused FIR, v3 kernel.
+
+    Same contract as :func:`pyfft_tpu.ops.pallas_welch.welch_fir_pallas_fused`
+    (which prefers this implementation whenever the geometry allows):
+    ``x (nt,)`` reference, ``y (nch, nt)``; returns ``(Pxx, Pyy, Pxy_re,
+    Pxy_im)`` scaled by ``norm``, with ``taps`` applied causally
+    (``np.convolve(sig, taps, 'full')[:nt]``) to every channel first and
+    **global** mean/none detrend of the filtered signals (reference
+    ``fft_analysis.py:357-358``).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    kprec = resolve_kernel_precision(precision)
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    if y.ndim == 1:
+        y = y[None]
+    if _v3_geometry(nwins, noverlap, y.shape[0]) is None:
+        raise ValueError(
+            f"v3 welch kernel: unsupported geometry nwins={nwins} "
+            f"noverlap={noverlap} nch={y.shape[0]}")
+    if detrend_style not in (0, 1):
+        raise ValueError("v3 welch kernel supports detrend mean/none")
+    taps_key = (tuple(np.asarray(taps, np.float64).tolist())
+                if taps is not None else None)
+    win_key = tuple(np.asarray(win, np.float64).tolist())
+    Pxx, Pyy, Pxy_re, Pxy_im = _v3_pipeline(
+        x, y, jnp.float32(norm), navr=navr, nwins=nwins, noverlap=noverlap,
+        taps_key=taps_key, win_key=win_key,
+        detrend_style=int(detrend_style), kprec=kprec,
+        interpret=bool(interpret))
+    return (Pxx[:nfreq], Pyy[:, :nfreq], Pxy_re[:, :nfreq],
+            Pxy_im[:, :nfreq])

@@ -70,17 +70,20 @@ def _welch_oracle(x, y, win, navr, nwins, hop, taps=None, detrend=1):
         x = np.convolve(x, taps, "full")[:nt]
         y = np.stack([np.convolve(c, taps, "full")[:nt] for c in y])
     nch = y.shape[0]
+    if detrend:
+        # global-mean detrend of the filtered span, as the reference does
+        # before its segment loop (fft_analysis.py:357-358)
+        x = x - x.mean()
+        y = y - y.mean(axis=-1, keepdims=True)
     Pxx = np.zeros(nwins)
     Pyy = np.zeros((nch, nwins))
     Pxy = np.zeros((nch, nwins), complex)
     for s in range(navr):
         sl = slice(s * hop, s * hop + nwins)
-        xs = x[sl] - (x[sl].mean() if detrend else 0.0)
-        X = np.fft.fft(win * xs)
+        X = np.fft.fft(win * x[sl])
         Pxx += np.abs(X) ** 2
         for c in range(nch):
-            ys = y[c, sl] - (y[c, sl].mean() if detrend else 0.0)
-            Y = np.fft.fft(win * ys)
+            Y = np.fft.fft(win * y[c, sl])
             Pyy[c] += np.abs(Y) ** 2
             Pxy[c] += Y * np.conj(X)
     return Pxx, Pyy, Pxy
@@ -129,7 +132,10 @@ def test_factored_kernel_applicability_gates():
     assert not pallas_welch2_applicable(2048, 1024, 100, 8,
                                         detrend_style=-1)       # linear
     assert not pallas_welch2_applicable(384, 256, 100, 8)       # R=3 !| 128
-    assert not pallas_welch2_applicable(2048, 1024, 100, 512)   # VMEM
+    # wide channel arrays run the v3 kernel in groups (VMEM is per-call)
+    assert pallas_welch2_applicable(2048, 1024, 100, 512)
+    # overlong FIRs exceed the banded-matmul kernel; overlap-save instead
+    assert not pallas_welch2_applicable(2048, 1024, 100, 8, np.ones(2049))
 
 
 def test_factored_kernel_rejects_bad_geometry():
