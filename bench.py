@@ -1,120 +1,39 @@
-"""Benchmark: Welch PSD + FIR chain throughput (samples/sec/chip).
+"""Benchmark: the five BASELINE configs + the headline Welch+FIR chain.
 
-Runs the flagship pipeline on the default JAX device (the real TPU under
-the driver): a multi-channel FIR band-pass (overlap-save, device-batched)
-followed by Welch cross-spectral estimation (batched frame->window->MXU-FFT
-->power->average), and compares against the reference's serial NumPy
-algorithm (per-segment Python loop over ``numpy.fft``, plus
-``scipy.signal``-style filtering) on the same workload.
+Measured on the default JAX device (the real TPU chip under the driver).
+For every config this reports samples/s and, where the kernel tier has an
+exact dispatched-FLOP model, the achieved fraction of the device's bf16
+matmul peak ("mxu_util" — the MFU-style number BASELINE.json asks for)
+alongside the algorithmic 5*N*log2(N) roofline fraction.
 
-Prints ONE JSON line:
+Artifacts:
+- prints ONE JSON line (the headline chain metric) for the driver:
   {"metric": "...", "value": N, "unit": "samples/s/chip", "vs_baseline": R}
+- writes all per-config rows to BENCH_FULL.json
+- rewrites the measured table in BASELINE.md between the
+  ``<!-- measured:begin -->`` / ``<!-- measured:end -->`` markers.
+
+Timing notes: the remote-TPU tunnel charges ~1 ms of host overhead per
+dispatch and ~30 MB/s for device->host copies, so workloads are sized to
+make one dispatch many milliseconds of device work, and synchronization
+happens through a scalar checksum (one float crosses the wire).
 """
 import json
+import os
 import time
 
 import numpy as np
 
 
-def _tpu_chain(x, y, taps, win, plan, iters=20):
-    import jax
-    import jax.numpy as jnp
-    from functools import partial
-    from pyfft_tpu import segmentation as seg
-    from pyfft_tpu.spectral import _welch_core_mxu, resolve_fft_backend
-    from pyfft_tpu.filters import _os_plan, _os_core_mxu, _os_core_xla
-    from pyfft_tpu.ops import mxu_fft  # noqa: F401
-
-    backend = resolve_fft_backend(None)
-    nch, nt = y.shape
-    ntaps = len(taps)
-    nfull = nt + ntaps - 1
-    nfft_os, hop_os, nblocks = _os_plan(nfull, ntaps)
-    H = np.fft.rfft(taps, n=nfft_os)
-
-    s1 = seg.get_s1(win)
-    enbw = seg.get_enbw(1e6, s1, seg.get_s2(win))
-    norm = np.float32(s1 ** 2 * enbw)
-    win_j = jnp.asarray(win.astype(np.float32))
-    Hr = jnp.asarray(H.real.astype(np.float32))
-    Hi = jnp.asarray(H.imag.astype(np.float32))
-
-    use_pallas = backend == "mxu"  # real TPU: fused single-pass kernels
-    use_v2 = False
-    if use_pallas:
-        from pyfft_tpu.ops.pallas_fir import fir_pallas
-        from pyfft_tpu.ops.pallas_welch import (welch_pallas_fused,
-                                                welch_fir_pallas_fused,
-                                                pallas_welch_applicable,
-                                                pallas_welch2_applicable)
-        use_v2 = pallas_welch2_applicable(plan.nwins, plan.noverlap,
-                                          plan.navr, nch, taps)
-        use_pallas = use_v2 or pallas_welch_applicable(
-            plan.nwins, plan.nnyquist, plan.navr)
-
-    @partial(jax.jit, static_argnames=())
-    def step(x_d, y_d):
-        if use_pallas:
-            from pyfft_tpu.spectral import _onesided_power_scale
-            knorm = np.float32(1.0 / (norm * plan.navr))
-            scale = jnp.asarray(
-                _onesided_power_scale(plan.nfft, plan.nnyquist)
-                .astype(np.float32))
-            if use_v2:
-                # the whole chain in ONE kernel: banded-matmul FIR ->
-                # frame -> detrend -> window -> factored MXU FFT ->
-                # cross-power accumulate (Pallas, bf16x3)
-                Pxx, Pyy, Pxy_re, Pxy_im = welch_fir_pallas_fused(
-                    x_d, y_d, win, plan.nnyquist, knorm, navr=plan.navr,
-                    nwins=plan.nwins, noverlap=plan.noverlap, taps=taps,
-                    detrend_style=1, interpret=False)
-            else:
-                # stage 1: single-pass banded-matmul FIR (Pallas, bf16x3)
-                sig = jnp.concatenate([x_d[None], y_d], axis=0)
-                f = fir_pallas(sig, taps, interpret=False)
-                # stage 2: fused frame->windowed-DFT->cross-power (Pallas)
-                Pxx, Pyy, Pxy_re, Pxy_im = welch_pallas_fused(
-                    f[0], f[1:], win, plan.nnyquist, knorm, navr=plan.navr,
-                    nwins=plan.nwins, noverlap=plan.noverlap,
-                    detrend_style=1, interpret=False)
-            out = dict(Pxx=Pxx * scale, Pyy=Pyy * scale,
-                       Pxy_re=Pxy_re * scale, Pxy_im=Pxy_im * scale)
-        else:
-            # portable path: overlap-save FIR + four-step MXU/XLA Welch
-            if backend == "xla":
-                Hc = Hr + 1j * Hi
-                yf = _os_core_xla(y_d, Hc, nfft=nfft_os, hop=hop_os,
-                                  nblocks=nblocks, ntaps=ntaps)[..., :nt]
-                xf = _os_core_xla(x_d[None], Hc, nfft=nfft_os, hop=hop_os,
-                                  nblocks=nblocks, ntaps=ntaps)[0, :nt]
-            else:
-                yf = _os_core_mxu(y_d, Hr, Hi, nfft=nfft_os, hop=hop_os,
-                                  nblocks=nblocks, ntaps=ntaps)[..., :nt]
-                xf = _os_core_mxu(x_d[None], Hr, Hi, nfft=nfft_os,
-                                  hop=hop_os, nblocks=nblocks,
-                                  ntaps=ntaps)[0, :nt]
-            out = _welch_core_mxu(
-                xf, None, yf, None, win_j, norm,
-                navr=plan.navr, nwins=plan.nwins, noverlap=plan.noverlap,
-                nfft=plan.nfft, nnyquist=plan.nnyquist, onesided=True,
-                detrend_style=1, ntmodel=False)
-        # scalar checksum: a reliable stream-sync point on the tunnel
-        # backend (block_until_ready alone under-reports there)
-        chk = (jnp.sum(out["Pxx"]) + jnp.sum(out["Pyy"])
-               + jnp.sum(out["Pxy_re"]))
-        return chk, (out["Pxx"], out["Pyy"], out["Pxy_re"], out["Pxy_im"])
-
-    x_d = jax.device_put(x)
-    y_d = jax.device_put(y)
-    for _ in range(3):          # warm the compile cache AND the tunnel
-        chk, r = step(x_d, y_d)
-    float(chk)
+def timeit(fn, iters=8, warmup=3):
+    for _ in range(warmup):
+        r = fn()
+    float(r)
     t0 = time.perf_counter()
     for _ in range(iters):
-        chk, r = step(x_d, y_d)
-    float(chk)
-    dt = (time.perf_counter() - t0) / iters
-    return dt, r
+        r = fn()
+    float(r)
+    return (time.perf_counter() - t0) / iters
 
 
 def _numpy_reference_chain(x, y, taps, win, plan):
@@ -144,44 +63,257 @@ def _numpy_reference_chain(x, y, taps, win, plan):
     return Pxx / plan.navr, Pyy / plan.navr, Pxy / plan.navr
 
 
-def main():
+def run_configs():
+    """Measure the five BASELINE configs; returns (rows, headline)."""
+    import jax
+    import jax.numpy as jnp
+    import pyfft_tpu as ft
     from pyfft_tpu import segmentation as seg
-    from pyfft_tpu.filters import firwin
+    from pyfft_tpu.ops.pallas_welch import (welch_fir_pallas_fused,
+                                            pallas_welch2_applicable)
+    from pyfft_tpu.ops.pallas_welch3 import v3_dispatched_flops
+    from pyfft_tpu.ops.pallas_fir import fir_pallas
+    from pyfft_tpu.utils import profiling as prof
 
-    nch = 8
-    nt = 1 << 21
-    nwins = 2048
-    fs = 1e6
-
+    dev = jax.devices()[0]
+    on_tpu = jax.default_backend() != "cpu"
+    kind = getattr(dev, "device_kind", "cpu")
+    mm_peak = prof.device_peaks()[0]
     rng = np.random.default_rng(0)
-    x = (np.sin(2 * np.pi * 97e3 * np.arange(nt) / fs)
+    rows = []
+
+    fs = 1e6
+    nt = 1 << 23 if on_tpu else 1 << 19
+    t = (np.arange(nt) / fs).astype(np.float32)
+    x = (np.sin(2 * np.pi * 97e3 * t)
          + 0.3 * rng.standard_normal(nt)).astype(np.float32)
-    y = (x[None, :] * (1 + np.arange(nch))[:, None] * 0.25
-         + 0.3 * rng.standard_normal((nch, nt))).astype(np.float32)
+    xd = jax.device_put(x)
 
-    plan = seg.plan_segments(nt, nwins=nwins, windowoverlap=0.5)
-    win = np.hanning(nwins + 1)[:-1]
-    taps = firwin(129, [0.05, 0.45], pass_zero=False)
+    def mfu(flops, dt):
+        return round(flops / dt / 1e12 / mm_peak, 4)
 
-    dt, _ = _tpu_chain(x, y, taps, win.astype(np.float32), plan)
-    samples = nch * nt
-    tpu_rate = samples / dt
+    # ---- config 1: single-channel Welch PSD (Hann, 50% overlap) --------- #
+    nwins = 4096
+    plan1 = seg.plan_segments(nt, nwins=nwins, windowoverlap=0.5)
+    win1 = np.hanning(nwins + 1)[:-1]
+    s1 = seg.get_s1(win1)
+    norm1 = np.float32(1.0 / (s1 ** 2
+                              * seg.get_enbw(fs, s1, seg.get_s2(win1))
+                              * plan1.navr))
+    assert pallas_welch2_applicable(plan1.nwins, plan1.noverlap, plan1.navr, 1)
+
+    @jax.jit
+    def welch1(xd):
+        Pxx, _, _, _ = welch_fir_pallas_fused(
+            xd, xd[None], win1, plan1.nnyquist, norm1, navr=plan1.navr,
+            nwins=plan1.nwins, noverlap=plan1.noverlap, detrend_style=1,
+            interpret=not on_tpu)
+        return jnp.sum(Pxx)
+
+    dt = timeit(lambda: welch1(xd))
+    fl = v3_dispatched_flops(plan1.nwins, plan1.noverlap, plan1.navr, 1, 1)
+    algo = prof.welch_flops(plan1.navr, nwins, nch=1)
+    rows.append({"config": 1, "what": "welch_psd_1ch_hann50",
+                 "samples_per_s": round(nt / dt, 1), "wall_s": dt,
+                 "mxu_util": mfu(fl, dt),
+                 "algo_tflops": round(algo / dt / 1e12, 3),
+                 "result_bytes": 4 * plan1.nnyquist})
+
+    # ---- config 2: COLA STFT spectrogram of a chirp --------------------- #
+    from pyfft_tpu.fftanal import _stft_core_mxu
+    f_inst = 1e3 + (200e3 - 1e3) * np.arange(nt) / nt
+    chirp = (np.sin(2 * np.pi * np.cumsum(f_inst) / fs)).astype(np.float32)
+    plan2 = seg.plan_segments(nt, nwins=2048, windowoverlap=0.5)
+    win2 = np.hanning(2049)[:-1]
+    s1_2, s2_2 = seg.get_s1(win2), seg.get_s2(win2)
+    enbw2 = seg.get_enbw(fs, s1_2, s2_2)
+    cd = jax.device_put(chirp)
+    td = jax.device_put(t)
+
+    @jax.jit
+    def stft_run(cd, td):
+        tt, Xr, Xi, pseg = _stft_core_mxu(
+            cd, None, td, jnp.asarray(win2), jnp.asarray(s1_2),
+            jnp.asarray(s2_2), jnp.asarray(np.sqrt(enbw2)),
+            navr=plan2.navr, nwins=plan2.nwins, noverlap=plan2.noverlap,
+            nfft=plan2.nfft, nnyquist=plan2.nnyquist, onesided=True,
+            detrend_style=1, detrendwin=False)
+        return jnp.sum(Xr) + jnp.sum(Xi) + jnp.sum(pseg)
+
+    dt = timeit(lambda: stft_run(cd, td))
+    rows.append({"config": 2, "what": "stft_chirp_cola",
+                 "samples_per_s": round(nt / dt, 1), "wall_s": dt,
+                 "result_bytes": 12 * plan2.navr * plan2.nnyquist})
+
+    # ---- config 3: FIR band-pass + notch chain, 8 channels -------------- #
+    nch = 8
+    y = (np.tile(x, (nch, 1))
+         + 0.1 * rng.standard_normal((nch, nt))).astype(np.float32)
+    yd = jax.device_put(y)
+    bp = ft.filters.firwin(129, [0.05, 0.45], pass_zero=False)
+    b_n, a_n = ft.iirnotch(0.2, 30.0)
+    notch_fir = ft.filters.iir_to_fir(b_n, a_n, ntaps=129)
+    chain_taps = np.convolve(bp, notch_fir)
+
+    @jax.jit
+    def fir_run(yd):
+        return jnp.sum(fir_pallas(yd, chain_taps, interpret=not on_tpu))
+
+    dt = timeit(lambda: fir_run(yd))
+    m3 = -(-(len(chain_taps) - 1) // 128)
+    fl = 2.0 * 3 * (m3 + 1) * nch * nt * 128        # bf16x3 banded matmuls
+    rows.append({"config": 3, "what": "fir_bandpass_notch_8ch",
+                 "samples_per_s": round(nch * nt / dt, 1), "wall_s": dt,
+                 "mxu_util": mfu(fl, dt),
+                 "hbm_gbs": round(8 * nch * nt / dt / 1e9, 1),
+                 "result_bytes": 4 * nch * nt})
+
+    # ---- config 4: Hilbert envelope/phase demodulation ------------------ #
+    am = ((1 + 0.5 * np.sin(2 * np.pi * 500 * t))
+          * np.sin(2 * np.pi * 50e3 * t)).astype(np.float32)
+    amd = jax.device_put(am)
+    from pyfft_tpu.hilbert import _envelope_phase_dev
+
+    @jax.jit
+    def hilb_run(amd):
+        env, ph = _envelope_phase_dev(amd, nfft=nt, axis=-1)
+        return jnp.sum(env) + jnp.sum(ph)
+
+    dt = timeit(lambda: hilb_run(amd))
+    rows.append({"config": 4, "what": "hilbert_demod",
+                 "samples_per_s": round(nt / dt, 1), "wall_s": dt,
+                 "result_bytes": 8 * nt})
+
+    # ---- config 5: multi-channel cross-coherence + Doppler COG ---------- #
+    assert pallas_welch2_applicable(plan1.nwins, plan1.noverlap, plan1.navr,
+                                    nch)
+
+    @jax.jit
+    def xcoh_run(xd, yd):
+        Pxx, Pyy, Pr, Pi = welch_fir_pallas_fused(
+            xd, yd, win1, plan1.nnyquist, norm1, navr=plan1.navr,
+            nwins=plan1.nwins, noverlap=plan1.noverlap, detrend_style=1,
+            interpret=not on_tpu)
+        # coherence + PSD-weighted COG frequency on-device (reference
+        # Cxy_Cxy2 fft_analysis.py:1662, cog Doppler.py:43)
+        C2 = (Pr * Pr + Pi * Pi) / (Pxx[None] * Pyy)
+        f = jnp.arange(plan1.nnyquist, dtype=jnp.float32)
+        cog = jnp.sum(Pyy * f, axis=-1) / jnp.sum(Pyy, axis=-1)
+        return jnp.sum(C2) + jnp.sum(cog)
+
+    dt = timeit(lambda: xcoh_run(xd, yd))
+    fl = v3_dispatched_flops(plan1.nwins, plan1.noverlap, plan1.navr, nch, 1)
+    algo = prof.welch_flops(plan1.navr, plan1.nwins, nch=nch)
+    rows.append({"config": 5, "what": "cross_coherence_cog_8ch",
+                 "samples_per_s": round(nch * nt / dt, 1), "wall_s": dt,
+                 "mxu_util": mfu(fl, dt),
+                 "algo_tflops": round(algo / dt / 1e12, 3),
+                 "result_bytes": 4 * (2 * nch + 1) * plan1.nnyquist})
+
+    # ---- headline: the full Welch+FIR chain (FIR fused into the path) --- #
+    nwins_h = 2048
+    plan_h = seg.plan_segments(nt, nwins=nwins_h, windowoverlap=0.5)
+    win_h = np.hanning(nwins_h + 1)[:-1]
+    s1h = seg.get_s1(win_h)
+    norm_h = np.float32(1.0 / (s1h ** 2
+                               * seg.get_enbw(fs, s1h, seg.get_s2(win_h))
+                               * plan_h.navr))
+    taps_h = ft.filters.firwin(129, [0.05, 0.45], pass_zero=False)
+    from pyfft_tpu.spectral import _onesided_power_scale
+    scale_h = jnp.asarray(
+        _onesided_power_scale(plan_h.nfft, plan_h.nnyquist)
+        .astype(np.float32))
+
+    @jax.jit
+    def chain(xd, yd):
+        Pxx, Pyy, Pr, Pi = welch_fir_pallas_fused(
+            xd, yd, win_h, plan_h.nnyquist, norm_h, navr=plan_h.navr,
+            nwins=plan_h.nwins, noverlap=plan_h.noverlap, taps=taps_h,
+            detrend_style=1, interpret=not on_tpu)
+        return (jnp.sum(Pxx * scale_h) + jnp.sum(Pyy * scale_h)
+                + jnp.sum(Pr * scale_h))
+
+    dt = timeit(lambda: chain(xd, yd))
+    fl = v3_dispatched_flops(plan_h.nwins, plan_h.noverlap, plan_h.navr,
+                             nch, len(taps_h))
+    headline = {"dt": dt, "samples": nch * nt,
+                "mxu_util": mfu(fl, dt), "device": kind}
+    rows.append({"config": 0, "what": "welch_fir_chain_8ch (headline)",
+                 "samples_per_s": round(nch * nt / dt, 1), "wall_s": dt,
+                 "mxu_util": headline["mxu_util"],
+                 "result_bytes": 4 * (2 * nch + 1) * plan_h.nnyquist})
 
     # reference-style serial NumPy baseline on a slice, scaled linearly
     base_nt = 1 << 18
-    base_plan = seg.plan_segments(base_nt, nwins=nwins, windowoverlap=0.5)
+    base_plan = seg.plan_segments(base_nt, nwins=nwins_h, windowoverlap=0.5)
     t0 = time.perf_counter()
     _numpy_reference_chain(x[:base_nt].astype(np.float64),
                            y[:, :base_nt].astype(np.float64),
-                           taps, win, base_plan)
+                           taps_h, win_h, base_plan)
     base_dt = (time.perf_counter() - t0) * (nt / base_nt)
-    base_rate = samples / base_dt
+    headline["base_rate"] = nch * nt / base_dt
+    return rows, headline
 
+
+_MD_BEGIN = "<!-- measured:begin -->"
+_MD_END = "<!-- measured:end -->"
+
+
+def update_baseline_md(rows, headline, path="BASELINE.md"):
+    """Rewrite the measured table between the markers (idempotent)."""
+    import datetime
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        txt = f.read()
+    lines = [f"{_MD_BEGIN}",
+             f"### Measured ({datetime.date.today().isoformat()}, "
+             f"{headline.get('device', '?')}, 1 chip)", "",
+             "MXU util = achieved TFLOP/s over the chip's bf16 matmul peak,",
+             "counting the FLOPs the kernels actually dispatch (bf16x3",
+             "compensation passes and structural padding included).",
+             "wall/call includes ~1 ms of remote-tunnel dispatch overhead;",
+             "device-resident time (and so true utilization) is",
+             "correspondingly better.", "",
+             "| config | samples/s/chip | wall/call | MXU util | notes |",
+             "|---|---|---|---|---|"]
+    for r in sorted(rows, key=lambda r: r["config"] or 99):
+        util = r.get("mxu_util")
+        lines.append(
+            f"| {r['what']} | {r['samples_per_s']:.3g} | "
+            f"{r['wall_s'] * 1e3:.2f} ms | "
+            f"{'' if util is None else f'{100 * util:.0f}%'} | "
+            f"result {r['result_bytes'] / 1e6:.2g} MB |")
+    lines.append(f"| serial NumPy reference chain | "
+                 f"{headline['base_rate']:.3g} | | | measured on a "
+                 f"2^18-sample slice, scaled |")
+    lines.append(_MD_END)
+    block = "\n".join(lines)
+    if _MD_BEGIN in txt:
+        pre = txt[:txt.index(_MD_BEGIN)]
+        post = txt[txt.index(_MD_END) + len(_MD_END):]
+        txt = pre + block + post
+    else:
+        txt = txt.rstrip() + "\n\n" + block + "\n"
+    with open(path, "w") as f:
+        f.write(txt)
+
+
+def main():
+    here = os.path.dirname(os.path.abspath(__file__))
+    rows, headline = run_configs()
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(rows, f, indent=1)
+    try:
+        update_baseline_md(rows, headline, os.path.join(here, "BASELINE.md"))
+    except Exception:
+        pass
+    rate = headline["samples"] / headline["dt"]
     print(json.dumps({
         "metric": "welch_psd_fir_chain_throughput",
-        "value": round(tpu_rate, 1),
+        "value": round(rate, 1),
         "unit": "samples/s/chip",
-        "vs_baseline": round(tpu_rate / base_rate, 2),
+        "vs_baseline": round(rate / headline["base_rate"], 2),
     }))
 
 

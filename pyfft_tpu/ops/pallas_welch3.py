@@ -433,3 +433,34 @@ def welch_fir_pallas3(x, y, win, nfreq, norm, *, navr, nwins, noverlap,
         interpret=bool(interpret))
     return (Pxx[:nfreq], Pyy[:, :nfreq], Pxy_re[:, :nfreq],
             Pxy_im[:, :nfreq])
+
+
+def v3_dispatched_flops(nwins, noverlap, navr, nch, ntaps=0,
+                        kprec="bf16x3"):
+    """MXU FLOPs the v3 chain actually dispatches (for MFU accounting).
+
+    Counts every bf16 pass at its dense matmul size — including the
+    structural zeros of the block-diagonal stage A, the K-dim padding of
+    the gather, and the hi/lo compensation passes — because that is the
+    work the systolic array performs; the achieved-TFLOP/s over this
+    count versus the device bf16 peak is the kernel's true MXU
+    utilization.  The algorithmic (5 N log2 N) count is far lower; both
+    are reported in BASELINE.md.
+    """
+    geom = _v3_geometry(nwins, noverlap, min(nch, 15))
+    if geom is None:
+        return None
+    R, hr, Sseg, blk, L = geom
+    C = nch + 1
+    N = C * _LANES
+    passes = {"highest": 6, "bf16x3": 3, "bf16": 1}[kprec]
+    nchunks = -(-navr // Sseg)
+    # welch kernel: gather (2 exact passes) + stage A (2 logical) +
+    # stage B (3 logical, Karatsuba)
+    per_chunk = (2 + (2 + 3) * passes) * _LANES * _LANES * N
+    welch = 2.0 * nchunks * per_chunk
+    # feeder: (m+1) band matmuls over every output row of every channel
+    m = -(-max(ntaps - 1, 0) // _LANES)
+    nrows = nchunks * blk + blk
+    fir = 2.0 * (m + 1) * passes * C * nrows * _LANES * _LANES
+    return welch + fir
