@@ -16,11 +16,14 @@ per host, a ``('host', 'ch', 't')`` mesh whose leading axis spans hosts
 """
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import jax
 from jax.sharding import Mesh
 
-__all__ = ["init_distributed", "make_host_mesh", "scaling_report"]
+__all__ = ["init_distributed", "make_host_mesh", "scaling_report",
+           "measure_scaling"]
 
 _initialized = False
 
@@ -61,10 +64,11 @@ def make_host_mesh(ch=1, t=None):
     return Mesh(arr, axis_names=("host", "ch", "t"))
 
 
-def scaling_report(mesh):
-    """Axis sizes + which link each collective rides (for logs)."""
+def scaling_report(mesh, measure=False, **measure_kw):
+    """Axis sizes, the collective->link mapping, and (optionally) a
+    *measured* scaling-efficiency table from :func:`measure_scaling`."""
     sizes = dict(mesh.shape)
-    return {
+    rep = {
         "axes": sizes,
         "devices": int(np.prod(list(sizes.values()))),
         "collectives": {
@@ -78,3 +82,50 @@ def scaling_report(mesh):
             if "host" in sizes else "n/a",
         },
     }
+    if measure:
+        rep["measured"] = measure_scaling(**measure_kw)
+    return rep
+
+
+def measure_scaling(nt=1 << 20, nch=4, nwins=1024, iters=5, shard_counts=None,
+                    fft_backend=None):
+    """Measure Welch throughput vs time-shard count; returns an efficiency
+    table (the BASELINE ">=85% at 2 hosts" acceptance harness).
+
+    Runs :func:`pyfft_tpu.parallel.welch_psd_sharded` on ``('ch'=1,
+    't'=d)`` meshes for each ``d`` in ``shard_counts`` (default: powers of
+    two up to the device count) and reports samples/s plus efficiency
+    relative to linear scaling from the smallest count.  On a virtual CPU
+    mesh the devices share physical cores, so the efficiency numbers there
+    only validate the harness; quote real numbers from multi-chip runs.
+    """
+    from .. import segmentation as seg
+    from .mesh import make_mesh
+    from .welch import welch_psd_sharded
+
+    ndev = len(jax.devices())
+    if shard_counts is None:
+        shard_counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= ndev]
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(nt).astype(np.float32)
+    y = rng.standard_normal((nch, nt)).astype(np.float32)
+    plan = seg.plan_segments(nt, nwins=nwins, windowoverlap=0.5)
+    win = np.hanning(nwins + 1)[:-1].astype(np.float32)
+
+    rows = []
+    for d in shard_counts:
+        mesh = make_mesh(ch=1, t=d, devices=jax.devices()[:d])
+        welch_psd_sharded(x, y, win, plan, 1e6, mesh,
+                          fft_backend=fft_backend)        # warm compile
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            welch_psd_sharded(x, y, win, plan, 1e6, mesh,
+                              fft_backend=fft_backend)
+        dt = (time.perf_counter() - t0) / iters
+        rows.append({"t_shards": d, "samples_per_s": nch * nt / dt,
+                     "wall_s": dt})
+    base = rows[0]
+    for r in rows:
+        ideal = base["samples_per_s"] * (r["t_shards"] / base["t_shards"])
+        r["efficiency"] = round(r["samples_per_s"] / ideal, 3)
+    return rows

@@ -42,8 +42,10 @@ def plan_shard_segments(nt: int, nwins: int, hop: int, navr: int, dshards: int):
     """Static segment->device assignment.
 
     Device ``d`` owns time block ``[d*B, (d+1)*B)`` and computes the global
-    segments whose start index lies in its block.  Returns ``(B, M)`` with
-    ``M`` the (padded) per-device segment count.
+    segments whose start index lies in its block.  ``nt`` may include
+    zero-padding to a shard multiple (the caller masks segments by
+    ``navr``).  Returns ``(B, M)`` with ``M`` the (padded) per-device
+    segment count.
     """
     if nt % dshards:
         raise ValueError(f"time axis {nt} not divisible by {dshards} shards")
@@ -58,24 +60,31 @@ def plan_shard_segments(nt: int, nwins: int, hop: int, navr: int, dshards: int):
     return B, int(counts.max())
 
 
-def _detrend_sharded(v, style, axis_name):
-    """Global mean/linear detrend via psum'd moments along the time axis."""
+def _detrend_sharded(v, style, axis_name, nt_true=None):
+    """Global mean/linear detrend via psum'd moments along the time axis.
+
+    ``nt_true`` is the unpadded signal length: padding zeros contribute
+    nothing to the moment sums, so dividing by the true length makes the
+    sharded moments bit-equivalent to the single-device ones.
+    """
     if style == 0:
         return v
     nt_local = v.shape[-1]
     nshards = lax.psum(1, axis_name)
-    ntot = nt_local * nshards
+    ntot = nt_true if nt_true is not None else nt_local * nshards
     s = lax.psum(jnp.sum(v, axis=-1, keepdims=True), axis_name)
     mean = s / ntot
     if style > 0:
         return v - mean
-    # linear: fit against the *global* sample index
+    # linear: fit against the *global* sample index (pad samples carry
+    # v = 0 - mean after centering, so exclude them via an index mask)
     d = lax.axis_index(axis_name)
     tloc = jnp.arange(nt_local, dtype=v.dtype) + d * nt_local
+    valid = (tloc < ntot).astype(v.dtype)
     tmean = (ntot - 1) / 2.0
-    tc = tloc - tmean
+    tc = (tloc - tmean) * valid
     st = lax.psum(jnp.sum(v * tc, axis=-1, keepdims=True), axis_name)
-    # sum over the global centered grid of tc^2 (closed form)
+    # sum over the global centered grid of tc^2 (closed form over ntot)
     denom = (ntot * (ntot ** 2 - 1)) / 12.0
     slope = st / denom
     return v - mean - slope * tc
@@ -96,19 +105,19 @@ def _halo_right(v, halo, axis_name):
 
 @partial(jax.jit, static_argnames=("navr", "nwins", "hop", "nfft", "nnyquist",
                                    "onesided", "detrend_style", "backend",
-                                   "B", "M", "mesh_static"))
+                                   "B", "M", "mesh_static", "ntmodel",
+                                   "nt_true"))
 def _welch_sharded_jit(x, y, win, s1sq_enbw, *, navr, nwins, hop, nfft,
                        nnyquist, onesided, detrend_style, backend, B, M,
-                       mesh_static):
+                       mesh_static, ntmodel=False, nt_true=None):
     mesh = mesh_static.mesh
 
     def step(x_l, y_l, win_l, norm_l):
-        # x_l: (B_local,); y_l: (nch_l, B_local)
-        x_l = _detrend_sharded(x_l, detrend_style, "t")
-        y_l = _detrend_sharded(y_l, detrend_style, "t")
+        # x_l: (B_local,) time-sharded — or the replicated (nwins,) model
+        # when ntmodel (reference fft_analysis.py:170-191); y_l: (nch_l, B)
+        y_l = _detrend_sharded(y_l, detrend_style, "t", nt_true)
 
         halo = nwins - 1
-        x_h = _halo_right(x_l, halo, "t")
         y_h = _halo_right(y_l, halo, "t")
 
         d = lax.axis_index("t")
@@ -118,7 +127,14 @@ def _welch_sharded_jit(x, y, win, s1sq_enbw, *, navr, nwins, hop, nfft,
         starts = jnp.clip(g_ids * hop - d * B, 0, B + halo - nwins)
 
         idx = starts[:, None] + jnp.arange(nwins)[None, :]
-        xfr = x_h[idx] * win_l                  # (M, nwins)
+        if ntmodel:
+            from ..utils.detrend import detrend_func
+            xm = detrend_func(detrend_style)(x_l[:nwins], axis=-1)
+            xfr = jnp.broadcast_to((xm * win_l)[None], (M, nwins))
+        else:
+            x_l = _detrend_sharded(x_l, detrend_style, "t", nt_true)
+            x_h = _halo_right(x_l, halo, "t")
+            xfr = x_h[idx] * win_l              # (M, nwins)
         yfr = y_h[..., idx] * win_l             # (nch_l, M, nwins)
 
         if backend == "xla":
@@ -165,7 +181,7 @@ def _welch_sharded_jit(x, y, win, s1sq_enbw, *, navr, nwins, hop, nfft,
 
     return shard_map(
         step, mesh,
-        in_specs=(P("t"), P("ch", "t"), P(), P()),
+        in_specs=(P() if ntmodel else P("t"), P("ch", "t"), P(), P()),
         out_specs=(P(), P("ch", None), P("ch", None), P("ch", None)),
         check_vma=False,
     )(x, y, win, 1.0 / s1sq_enbw)
@@ -190,11 +206,16 @@ class _MeshBox:
 
 
 def welch_psd_sharded(x, y, win, plan: seg.SegmentPlan, fs, mesh, *,
-                      onesided=True, detrend_style=1, fft_backend=None):
+                      onesided=True, detrend_style=1, fft_backend=None,
+                      ntmodel=False):
     """Distributed Welch auto-/cross-spectra over a ``('ch','t')`` mesh.
 
-    ``x (nt,)`` is the common reference signal (time-sharded);
-    ``y (nch, nt)`` is channel- and time-sharded.  Returns numpy
+    ``x (nt,)`` is the common reference signal (time-sharded) — or, with
+    ``ntmodel=True``, a one-window model replicated to every device
+    (reference ``fft_analysis.py:170-191``); ``y (nch, nt)`` is channel-
+    and time-sharded.  Signals whose length is not a multiple of the time
+    shards are zero-padded (exactly compensated in the detrend moments and
+    masked out of the segment set).  Returns numpy
     ``(freq, Pxx, Pyy, Pxy)`` with the identical normalization contract as
     the single-device pipeline — sharded == unsharded is asserted in the
     test-suite.
@@ -209,11 +230,27 @@ def welch_psd_sharded(x, y, win, plan: seg.SegmentPlan, fs, mesh, *,
     dch = mesh.shape["ch"]
     if y.shape[0] % dch:
         raise ValueError(f"nch={y.shape[0]} not divisible by ch shards {dch}")
-    B, M = plan_shard_segments(x.shape[-1], plan.nwins, plan.hop, plan.navr,
+    nt = y.shape[-1]
+    pad = (-nt) % dt_shards
+    if pad:
+        y = np.concatenate([y, np.zeros((y.shape[0], pad), y.dtype)],
+                           axis=-1)
+        if not ntmodel:
+            x = np.concatenate([x, np.zeros(pad, x.dtype)])
+    B, M = plan_shard_segments(nt + pad, plan.nwins, plan.hop, plan.navr,
                                dt_shards)
 
-    xs = jax.device_put(x, NamedSharding(mesh, P("t")))
-    ys = jax.device_put(y, NamedSharding(mesh, P("ch", "t")))
+    def _put(arr, spec):
+        sh = NamedSharding(mesh, spec)
+        if jax.process_count() > 1:
+            # multi-process: assemble the global array from local shards
+            # (device_put refuses non-addressable shardings)
+            return jax.make_array_from_callback(arr.shape, sh,
+                                                lambda idx: arr[idx])
+        return jax.device_put(arr, sh)
+
+    xs = _put(x, P() if ntmodel else P("t"))
+    ys = _put(y, P("ch", "t"))
     wd = jnp.asarray(win_np, dtype=xs.dtype)
 
     Pxx, Pyy, Pxy_re, Pxy_im = _welch_sharded_jit(
@@ -222,7 +259,8 @@ def welch_psd_sharded(x, y, win, plan: seg.SegmentPlan, fs, mesh, *,
         nnyquist=plan.nnyquist, onesided=bool(onesided),
         detrend_style=int(detrend_style),
         backend=resolve_fft_backend(fft_backend), B=B, M=M,
-        mesh_static=_MeshBox(mesh))
+        mesh_static=_MeshBox(mesh), ntmodel=bool(ntmodel),
+        nt_true=int(nt))
 
     freq = np.fft.fftfreq(plan.nfft, 1.0 / fs)
     freq = freq[:plan.nnyquist] if onesided else np.fft.fftshift(freq)

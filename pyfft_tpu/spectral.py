@@ -490,7 +490,8 @@ def csd_oracle(x, y, nfft, fs, detrend=None, window=None, noverlap=0,
 
 def fft_pwelch(tvec, sigx, sigy, tbounds=None, Navr=None, windowoverlap=None,
                windowfunction=None, useMLAB=None, plotit=None, verbose=None,
-               detrend_style=None, onesided=None, fft_backend=None, **kwargs):
+               detrend_style=None, onesided=None, fft_backend=None,
+               mesh=None, **kwargs):
     """Welch-averaged cross-spectral analysis of two signals.
 
     Computes the cross- and auto-power spectral densities, coherence,
@@ -513,6 +514,14 @@ def fft_pwelch(tvec, sigx, sigy, tbounds=None, Navr=None, windowoverlap=None,
 
     ``fft_backend``: None/'auto' (probe the device), 'xla' (complex
     ``jnp.fft``) or 'mxu' (real-pair matmul DFTs — the TPU path).
+
+    ``mesh``: ``None`` (single device), a ``jax.sharding.Mesh`` with
+    ``('ch', 't')`` axes, or ``'auto'`` (build one over every visible
+    device) — runs the Welch averaging distributed: time axis sharded
+    with ppermute halo exchange, channels data-parallel, psum averages
+    (SURVEY §2.3).  The reflect-extension and ``nTmodel`` semantics are
+    preserved; per-segment arrays (``fftinfo.Pxx_seg`` etc.) are not
+    populated on this path.  Real-valued signals only.
 
     Returns ``(freq, Pxy, Pxx, Pyy, Cxy, phi_xy, fftinfo)``.
 
@@ -658,6 +667,31 @@ def fft_pwelch(tvec, sigx, sigy, tbounds=None, Navr=None, windowoverlap=None,
             Pxy = Pxy[:, :Nnyquist]
         Pyy = Pyy.T
         Pxy = Pxy.T
+    elif mesh is not None:
+        # distributed path: time-sharded halo-exchange Welch over a device
+        # mesh; identical normalization contract as the single-device core
+        from . import parallel as par
+        if np.iscomplexobj(x_in) or np.iscomplexobj(y_in):
+            raise ValueError("fft_pwelch(mesh=...) supports real signals; "
+                             "run complex/two-sided inputs single-device")
+        if mesh == "auto":
+            import jax as _jax
+            mesh = par.make_mesh(ch=1, t=len(_jax.devices()))
+        if verbose:
+            print(f"using the sharded Welch pipeline over mesh "
+                  f"{dict(mesh.shape)}")
+        plan = seg.SegmentPlan(nsig=int(y_in.shape[0]), nwins=int(nwins),
+                               noverlap=int(noverlap), navr=int(Navr),
+                               nfft=int(nfft), nnyquist=int(Nnyquist))
+        freq, Pxx, Pyy_s, Pxy_s = par.welch_psd_sharded(
+            np.ascontiguousarray(x_in), np.ascontiguousarray(y_in.T),
+            win, plan, Fs, mesh, onesided=bool(onesided),
+            detrend_style=int(detrend_style), fft_backend=fft_backend,
+            ntmodel=bool(nTmodel))
+        Pyy = Pyy_s.T
+        Pxy = Pxy_s.T
+        fftinfo.Pxx_seg = fftinfo.Pyy_seg = fftinfo.Pxy_seg = None
+        fftinfo.Xfft_seg = fftinfo.Yfft_seg = None
     else:
         if verbose:
             print("using the batched device Welch pipeline "

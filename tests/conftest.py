@@ -43,3 +43,8 @@ def ref_fft():
 def ref_windows():
     import FFT.windows as refw
     return refw
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running (multi-process) tests")
