@@ -272,14 +272,53 @@ def ifft_pair(re, im, n=None, axis=-1, leaf=_DEF_LEAF, precision="highest"):
             jnp.moveaxis(-io, -1, axis) * scale)
 
 
+@lru_cache(maxsize=None)
+def _rfft_combine_tables(n: int, dtype=np.float32):
+    """Index/twiddle tables for the even/odd real-input packing of an
+    ``n``-point rfft via one ``n/2``-point complex transform."""
+    M = n // 2
+    k = np.arange(M + 1)
+    idx = (k % M).astype(np.int32)
+    ridx = ((M - k) % M).astype(np.int32)
+    ang = 2.0 * np.pi * k / n
+    return idx, ridx, np.cos(ang).astype(dtype), np.sin(ang).astype(dtype)
+
+
 def rfft_pair(x, n=None, axis=-1, leaf=_DEF_LEAF, precision="highest"):
-    """Real-input DFT; returns the ``n//2 + 1`` non-negative-frequency bins."""
-    re, im = fft_pair(x, None, n=n, axis=axis, leaf=leaf, precision=precision)
-    nn = re.shape[axis]
-    keep = nn // 2 + 1
-    sl = [slice(None)] * re.ndim
-    sl[axis % re.ndim] = slice(0, keep)
-    return re[tuple(sl)], im[tuple(sl)]
+    """Real-input DFT; returns the ``n//2 + 1`` non-negative-frequency bins.
+
+    Even ``n`` uses the true half-spectrum factorization — pack
+    ``z[m] = x[2m] + j x[2m+1]``, one ``n/2``-point complex transform,
+    then the hermitian split-and-twiddle recombination — which halves the
+    MXU work of the dominant real-input pipelines versus transforming the
+    full length and slicing (the reference's rfft role,
+    ``fft_analysis.py:548``).  Odd/short ``n`` falls back to the sliced
+    full transform.
+    """
+    x, n = _prep(x, n, axis)                  # moves the axis last
+    if n % 2 or n <= 2 * leaf:
+        dtype = np.dtype(x.dtype)
+        re, im = _fft_last(x, None, n, leaf, precision, dtype)
+        keep = n // 2 + 1
+        return (jnp.moveaxis(re[..., :keep], -1, axis),
+                jnp.moveaxis(im[..., :keep], -1, axis))
+
+    M = n // 2
+    dtype = np.dtype(x.dtype)
+    Zr, Zi = _fft_last(x[..., 0::2], x[..., 1::2], M, leaf, precision, dtype)
+    idx, ridx, c, s = _rfft_combine_tables(n, dtype)
+    idx = jnp.asarray(idx)
+    ridx = jnp.asarray(ridx)
+    c = jnp.asarray(c)
+    s = jnp.asarray(s)
+    Zrk, Zik = Zr[..., idx], Zi[..., idx]
+    Zcr, Zci = Zr[..., ridx], -Zi[..., ridx]
+    Er, Ei = 0.5 * (Zrk + Zcr), 0.5 * (Zik + Zci)
+    Or, Oi = 0.5 * (Zrk - Zcr), 0.5 * (Zik - Zci)
+    # X[k] = E[k] - j W_n^k O[k]
+    Xr = Er + (c * Oi - s * Or)
+    Xi = Ei - (c * Or + s * Oi)
+    return jnp.moveaxis(Xr, -1, axis), jnp.moveaxis(Xi, -1, axis)
 
 
 def irfft_pair(re, im, n, axis=-1, leaf=_DEF_LEAF, precision="highest"):
@@ -304,6 +343,25 @@ def irfft_pair(re, im, n, axis=-1, leaf=_DEF_LEAF, precision="highest"):
     im = im.at[..., 0].set(0.0)
     if n % 2 == 0:
         im = im.at[..., -1].set(0.0)
+    if n % 2 == 0 and n > 2 * leaf:
+        # inverse of the rfft packing: rebuild the n/2-point complex
+        # spectrum Z[k] = E[k] + j W_n^{-k} O[k], invert once, de-interleave
+        M = n // 2
+        _, _, c, s = _rfft_combine_tables(n, np.dtype(re.dtype))
+        c = jnp.asarray(c[:M])
+        s = jnp.asarray(s[:M])
+        rr = re[..., M:0:-1]                   # re[M-k], k = 0..M-1
+        ri = im[..., M:0:-1]
+        Ar = 0.5 * (re[..., :M] + rr)
+        Ai = 0.5 * (im[..., :M] - ri)
+        Br = 0.5 * (re[..., :M] - rr)
+        Bi = 0.5 * (im[..., :M] + ri)
+        Zr = Ar - (c * Bi + s * Br)
+        Zi = Ai + (c * Br - s * Bi)
+        zr, zi = ifft_pair(Zr, Zi, n=M, axis=-1, leaf=leaf,
+                           precision=precision)
+        out = jnp.stack([zr, zi], axis=-1).reshape(zr.shape[:-1] + (n,))
+        return jnp.moveaxis(out, -1, axis)
     body_r = re[..., 1:need - 1] if n % 2 == 0 else re[..., 1:need]
     body_i = im[..., 1:need - 1] if n % 2 == 0 else im[..., 1:need]
     full_r = jnp.concatenate([re, body_r[..., ::-1]], axis=-1)

@@ -92,3 +92,19 @@ def test_n_padding_and_truncation():
     re, im = mf.fft_pair(x, n=64)
     ref = np.fft.fft(x, n=64)
     np.testing.assert_allclose(np.asarray(re), ref.real, atol=1e-10)
+
+
+def test_rfft_half_spectrum_path_matches_numpy():
+    """Even lengths above 2*leaf take the true half-spectrum factorization
+    (pack-even/odd + n/2 complex FFT + twiddle recombination)."""
+    rng = np.random.default_rng(7)
+    for n in (512, 2048, 6000):          # > 2*leaf: packed path
+        x = rng.standard_normal((2, n))
+        Xr, Xi = mf.rfft_pair(x)
+        R = np.fft.rfft(x, axis=-1)
+        np.testing.assert_allclose(np.asarray(Xr), R.real, rtol=1e-9,
+                                   atol=1e-9 * np.abs(R).max())
+        np.testing.assert_allclose(np.asarray(Xi), R.imag, rtol=1e-9,
+                                   atol=1e-9 * np.abs(R).max())
+        xb = mf.irfft_pair(Xr, Xi, n)
+        np.testing.assert_allclose(np.asarray(xb), x, atol=1e-10)
