@@ -120,30 +120,26 @@ def run_configs():
                  "result_bytes": 4 * plan1.nnyquist})
 
     # ---- config 2: COLA STFT spectrogram of a chirp --------------------- #
-    from pyfft_tpu.fftanal import _stft_core_mxu
+    from pyfft_tpu.ops.pallas_welch3 import stft_pallas3
     f_inst = 1e3 + (200e3 - 1e3) * np.arange(nt) / nt
     chirp = (np.sin(2 * np.pi * np.cumsum(f_inst) / fs)).astype(np.float32)
     plan2 = seg.plan_segments(nt, nwins=2048, windowoverlap=0.5)
     win2 = np.hanning(2049)[:-1]
-    s1_2, s2_2 = seg.get_s1(win2), seg.get_s2(win2)
-    enbw2 = seg.get_enbw(fs, s1_2, s2_2)
     cd = jax.device_put(chirp)
-    td = jax.device_put(t)
 
     @jax.jit
-    def stft_run(cd, td):
-        tt, Xr, Xi, pseg = _stft_core_mxu(
-            cd, None, td, jnp.asarray(win2), jnp.asarray(s1_2),
-            jnp.asarray(s2_2), jnp.asarray(np.sqrt(enbw2)),
-            navr=plan2.navr, nwins=plan2.nwins, noverlap=plan2.noverlap,
-            nfft=plan2.nfft, nnyquist=plan2.nnyquist, onesided=True,
-            detrend_style=1, detrendwin=False)
-        return jnp.sum(Xr) + jnp.sum(Xi) + jnp.sum(pseg)
+    def stft_run(cd):
+        Xr, Xi = stft_pallas3(cd, None, win2, 1.0, navr=plan2.navr,
+                              nwins=plan2.nwins, noverlap=plan2.noverlap,
+                              detrend_style=1, interpret=not on_tpu)
+        return jnp.sum(Xr * Xr + Xi * Xi)
 
-    dt = timeit(lambda: stft_run(cd, td))
+    dt = timeit(lambda: stft_run(cd))
+    fl2 = v3_dispatched_flops(plan2.nwins, plan2.noverlap, plan2.navr, 1, 1)
     rows.append({"config": 2, "what": "stft_chirp_cola",
                  "samples_per_s": round(nt / dt, 1), "wall_s": dt,
-                 "result_bytes": 12 * plan2.navr * plan2.nnyquist})
+                 "mxu_util": mfu(fl2, dt),
+                 "result_bytes": 8 * plan2.navr * plan2.nwins})
 
     # ---- config 3: FIR band-pass + notch chain, 8 channels -------------- #
     nch = 8

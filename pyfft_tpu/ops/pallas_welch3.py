@@ -45,7 +45,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .precision import split_bf16, resolve_kernel_precision
 
-__all__ = ["welch_fir_pallas3", "pallas_welch3_applicable"]
+__all__ = ["welch_fir_pallas3", "pallas_welch3_applicable",
+           "welch_pallas3_twosided", "pallas_welch3_cplx_applicable",
+           "stft_pallas3"]
 
 _LANES = 128
 
@@ -70,8 +72,8 @@ def _v3_geometry(nwins, noverlap, nch):
     L = blk + R
     if L > 2 * _LANES:          # keep the gather contraction <= 2 K-tiles
         return None
-    if blk % R:                 # head BlockSpec addresses in units of R rows
-        return None
+    if blk % max(R, 8):         # head BlockSpec addresses in Rh-row blocks
+        return None             # (>= 8 sublanes, the Mosaic tile minimum)
     if nch + 1 > 16:            # VMEM: ~18 live f32 (128, C*128) buffers
         return None
     return R, hr, Sseg, blk, L
@@ -194,81 +196,105 @@ def _rsplit(x, kprec):
     return split_bf16(x)
 
 
-def _v3_kernel(cur_ref, head_ref, mrow_ref, *refs, counts, C, R, Sseg, navr,
-               blk, unroll, kprec):
-    """Grid ``(nb,)``: ``unroll`` chunks of Sseg segments x C channels per
-    step, all-matmul.  The unroll amortizes per-grid-step pipeline overhead
-    (measured ~5us/step) over several chunks sharing one table residency."""
+def _chunk_spectra(cur_ref, head_ref, mrow_ref, tabs, b, k, *, C, R, Sseg,
+                   navr, blk, unroll, kprec, cplx):
+    """One chunk of the factored transform: gather -> detrend/window/mask ->
+    stage A -> twiddle -> stage B -> (optional) complex recombination.
+    Returns per-segment spectra ``(X3r, X3i)`` shaped ``(Co, Sseg, R, 128)``
+    in channel-major layout (bin ``k = q + R p`` at ``[q, p]``)."""
+    lo = k * blk
+    if k < unroll - 1:
+        rows = cur_ref[lo:lo + blk + R]
+    else:
+        rows = jnp.concatenate([cur_ref[lo:lo + blk], head_ref[:R]],
+                               axis=0)                       # (L, N)
+    rh, rl = _rsplit(rows, kprec)
+
+    # gather Sseg segments of all C channels: (128, N), row = s*R + r
+    if kprec == "highest":
+        st = jnp.dot(tabs["G"][0][...], rows,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+    else:
+        st = _d(tabs["G"][0][...], rh)
+        if rl is not None:
+            st = st + _d(tabs["G"][0][...], rl)
+
+    # global-mean detrend (per-channel broadcast), window, validity mask
+    rowseg = (jax.lax.broadcasted_iota(jnp.int32, (_LANES, 1), 0) // R
+              + (b * unroll + k) * Sseg)
+    mask = (rowseg < navr).astype(jnp.float32)
+    stw = (st - mrow_ref[...]) * tabs["W"][0][...] * mask
+
+    # stage A: block-diagonal R-point DFT (all segments, all channels)
+    sh, sl = _rsplit(stw, kprec)
+    Ar = _ldot_const(tabs["D"], sh, sl, kprec)
+    Ai = _ldot_const(tabs["Di"], sh, sl, kprec)
+
+    # twiddle (VPU elementwise, tiled constants)
+    Trt = tabs["Tr"][0][...]
+    Tit = tabs["Ti"][0][...]
+    Br = Ar * Trt - Ai * Tit
+    Bi = Ar * Tit + Ai * Trt
+
+    # stage B input: per-channel lane-group slices stacked channel-major
+    # — pure (128,128) tile copies, no lane-crossing shuffles (the
+    # row-major reshape would interleave channels into rows: a relayout)
+    Br2 = jnp.concatenate(
+        [Br[:, c * _LANES:(c + 1) * _LANES] for c in range(C)], axis=0)
+    Bi2 = jnp.concatenate(
+        [Bi[:, c * _LANES:(c + 1) * _LANES] for c in range(C)], axis=0)
+
+    # stage B: 128-point DFT over lanes, 3-product complex multiply
+    bh, bl = _rsplit(Br2, kprec)
+    ch, cl = _rsplit(Bi2, kprec)
+    m1 = _rdot_const(bh, bl, tabs["Cb"], kprec)
+    m2 = _rdot_const(ch, cl, tabs["Sb"], kprec)
+    ssum = Br2 + Bi2
+    sh2, sl2 = _rsplit(ssum, kprec)
+    m3 = _rdot_const(sh2, sl2, tabs["CpS"], kprec)
+    Xr = m1 - m2
+    Xi = m3 - m1 - m2
+
+    # channel-major: rows are (c, s, q), so the reshape only splits
+    # untiled leading dims; broadcasts ride untiled axes
+    X3r = Xr.reshape(C, Sseg, R, _LANES)
+    X3i = Xi.reshape(C, Sseg, R, _LANES)
+    if cplx:
+        # channels arrive as interleaved (re, im) pairs of complex
+        # signals; F(re + j im) = F(re) + j F(im), recombined here
+        # with stride-2 slices of the *untiled* channel axis
+        Zr = X3r[0::2] - X3i[1::2]                         # (C/2, S, R, 128)
+        Zi = X3i[0::2] + X3r[1::2]
+        X3r, X3i = Zr, Zi
+    return X3r, X3i
+
+
+def _unpack_tabs(refs, counts):
     tabs = {}
     i = 0
     for name, n in counts:
         tabs[name] = refs[i:i + n]
         i += n
-    auto_ref, xre_ref, xim_ref = refs[i:i + 3]
+    return tabs, refs[i:]
+
+
+def _v3_kernel(cur_ref, head_ref, mrow_ref, *refs, counts, C, R, Sseg, navr,
+               blk, unroll, kprec, cplx=False):
+    """Grid ``(nb,)``: ``unroll`` chunks of Sseg segments x C channels per
+    step, all-matmul.  The unroll amortizes per-grid-step pipeline overhead
+    (measured ~5us/step) over several chunks sharing one table residency."""
+    tabs, outs = _unpack_tabs(refs, counts)
+    auto_ref, xre_ref, xim_ref = outs[:3]
     b = pl.program_id(0)
 
     def chunk(k):
-        lo = k * blk
-        if k < unroll - 1:
-            rows = cur_ref[lo:lo + blk + R]
-        else:
-            rows = jnp.concatenate([cur_ref[lo:lo + blk], head_ref[...]],
-                                   axis=0)                       # (L, N)
-        rh, rl = _rsplit(rows, kprec)
-
-        # gather Sseg segments of all C channels: (128, N), row = s*R + r
-        if kprec == "highest":
-            st = jnp.dot(tabs["G"][0][...], rows,
-                         precision=jax.lax.Precision.HIGHEST,
-                         preferred_element_type=jnp.float32)
-        else:
-            st = _d(tabs["G"][0][...], rh)
-            if rl is not None:
-                st = st + _d(tabs["G"][0][...], rl)
-
-        # global-mean detrend (per-channel broadcast), window, validity mask
-        rowseg = (jax.lax.broadcasted_iota(jnp.int32, (_LANES, 1), 0) // R
-                  + (b * unroll + k) * Sseg)
-        mask = (rowseg < navr).astype(jnp.float32)
-        stw = (st - mrow_ref[...]) * tabs["W"][0][...] * mask
-
-        # stage A: block-diagonal R-point DFT (all segments, all channels)
-        sh, sl = _rsplit(stw, kprec)
-        Ar = _ldot_const(tabs["D"], sh, sl, kprec)
-        Ai = _ldot_const(tabs["Di"], sh, sl, kprec)
-
-        # twiddle (VPU elementwise, tiled constants)
-        Trt = tabs["Tr"][0][...]
-        Tit = tabs["Ti"][0][...]
-        Br = Ar * Trt - Ai * Tit
-        Bi = Ar * Tit + Ai * Trt
-
-        # stage B input: per-channel lane-group slices stacked channel-major
-        # — pure (128,128) tile copies, no lane-crossing shuffles (the
-        # row-major reshape would interleave channels into rows: a relayout)
-        Br2 = jnp.concatenate(
-            [Br[:, c * _LANES:(c + 1) * _LANES] for c in range(C)], axis=0)
-        Bi2 = jnp.concatenate(
-            [Bi[:, c * _LANES:(c + 1) * _LANES] for c in range(C)], axis=0)
-
-        # stage B: 128-point DFT over lanes, 3-product complex multiply
-        bh, bl = _rsplit(Br2, kprec)
-        ch, cl = _rsplit(Bi2, kprec)
-        m1 = _rdot_const(bh, bl, tabs["Cb"], kprec)
-        m2 = _rdot_const(ch, cl, tabs["Sb"], kprec)
-        ssum = Br2 + Bi2
-        sh2, sl2 = _rsplit(ssum, kprec)
-        m3 = _rdot_const(sh2, sl2, tabs["CpS"], kprec)
-        Xr = m1 - m2
-        Xi = m3 - m1 - m2
-
-        # powers, channel-major: rows are (c, s, q), so the reshape only
-        # splits untiled leading dims; broadcasts ride untiled axes
-        X3r = Xr.reshape(C, Sseg, R, _LANES)
-        X3i = Xi.reshape(C, Sseg, R, _LANES)
+        X3r, X3i = _chunk_spectra(cur_ref, head_ref, mrow_ref, tabs, b, k,
+                                  C=C, R=R, Sseg=Sseg, navr=navr, blk=blk,
+                                  unroll=unroll, kprec=kprec, cplx=cplx)
         xr0 = X3r[0]                                       # reference (c=0)
         xi0 = X3i[0]
-        auto = jnp.sum(X3r * X3r + X3i * X3i, axis=1)      # (C, R, 128)
+        auto = jnp.sum(X3r * X3r + X3i * X3i, axis=1)      # (Co, R, 128)
         xre = jnp.sum(X3r * xr0[None] + X3i * xi0[None], axis=1)
         xim = jnp.sum(X3i * xr0[None] - X3r * xi0[None], axis=1)
         return auto, xre, xim
@@ -299,9 +325,9 @@ def _v3_kernel(cur_ref, head_ref, mrow_ref, *refs, counts, C, R, Sseg, navr,
 
 @partial(jax.jit, static_argnames=("navr", "nwins", "noverlap", "taps_key",
                                    "win_key", "detrend_style", "kprec",
-                                   "interpret"))
+                                   "interpret", "cplx"))
 def _v3_pipeline(x, y, norm, *, navr, nwins, noverlap, taps_key, win_key,
-                 detrend_style, kprec, interpret):
+                 detrend_style, kprec, interpret, cplx=False):
     nch, nt = y.shape
     C = nch + 1
     N = C * _LANES
@@ -358,16 +384,19 @@ def _v3_pipeline(x, y, norm, *, navr, nwins, noverlap, taps_key, win_key,
 
     tables, counts = _v3_tables_host(nwins, hr, C, win_key, kprec)
 
-    hpr = blk // R                              # head offset in R-row units
+    # the head block needs >= 8 sublanes on TPU; blk is a multiple of 8
+    # for every legal geometry, so Rh-row addressing stays block-aligned
+    Rh = max(R, 8)
     in_specs = [
         pl.BlockSpec((unroll * blk, N), lambda b: (b, 0)),
-        pl.BlockSpec((R, N), lambda b: ((b + 1) * unroll * hpr, 0)),
+        pl.BlockSpec((Rh, N), lambda b: ((b + 1) * unroll * blk // Rh, 0)),
         pl.BlockSpec((1, N), lambda b: (0, 0)),
         *[pl.BlockSpec(t.shape, lambda b: tuple(0 for _ in t.shape))
           for t in tables],
     ]
-    out_specs = [pl.BlockSpec((C, R, _LANES), lambda b: (0, 0, 0))] * 3
-    out_shape = [jax.ShapeDtypeStruct((C, R, _LANES), jnp.float32)] * 3
+    Co = C // 2 if cplx else C
+    out_specs = [pl.BlockSpec((Co, R, _LANES), lambda b: (0, 0, 0))] * 3
+    out_shape = [jax.ShapeDtypeStruct((Co, R, _LANES), jnp.float32)] * 3
 
     passes = {"highest": 6, "bf16x3": 3, "bf16": 1}[kprec]
     mm = (2 + 2 * passes + 3 * passes) * _LANES * _LANES * N
@@ -375,7 +404,7 @@ def _v3_pipeline(x, y, norm, *, navr, nwins, noverlap, taps_key, win_key,
 
     auto, xre, xim = pl.pallas_call(
         partial(_v3_kernel, counts=counts, C=C, R=R, Sseg=Sseg, navr=navr,
-                blk=blk, unroll=unroll, kprec=kprec),
+                blk=blk, unroll=unroll, kprec=kprec, cplx=cplx),
         grid=(nb,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -389,8 +418,8 @@ def _v3_pipeline(x, y, norm, *, navr, nwins, noverlap, taps_key, win_key,
     )(sig2, sig2, m_row, *map(jnp.asarray, tables))
 
     # natural order: bin k = q + R p lives at [q, p]
-    def natural(o):                              # (C, R, 128) -> (C, nwins)
-        return o.transpose(0, 2, 1).reshape(C, nwins) * norm
+    def natural(o):                              # (Co, R, 128) -> (Co, nwins)
+        return o.transpose(0, 2, 1).reshape(Co, nwins) * norm
     A = natural(auto)
     Re = natural(xre)
     Im = natural(xim)
@@ -464,3 +493,194 @@ def v3_dispatched_flops(nwins, noverlap, navr, nch, ntaps=0,
     nrows = nchunks * blk + blk
     fir = 2.0 * (m + 1) * passes * C * nrows * _LANES * _LANES
     return welch + fir
+
+
+def pallas_welch3_cplx_applicable(nwins, noverlap, navr, nchz=1,
+                                  detrend_style=1):
+    """Whether the complex two-sided kernel covers this configuration
+    (``nchz`` complex channels -> ``2*(nchz+1)`` real kernel channels)."""
+    return (detrend_style in (0, 1)
+            and _v3_geometry(nwins, noverlap, 2 * nchz + 1) is not None)
+
+
+def welch_pallas3_twosided(x, y, win, norm, *, navr, nwins, noverlap,
+                           taps=None, detrend_style=1, precision=None,
+                           interpret=None):
+    """Two-sided Welch cross-powers of COMPLEX signals, fully fused.
+
+    The Doppler IQ configuration (reference ``fft_analysis.py:423-427``,
+    ``Doppler.py:164-281``): ``x (nt,)`` complex reference, ``y (nchz,
+    nt)`` complex channels.  Each complex signal rides the real v3 kernel
+    as an interleaved (re, im) channel pair — the transform stages are
+    unchanged and the hermitian recombination happens in the powers
+    epilogue — so the cost is exactly two real channels per complex one.
+
+    Returns ``(Pxx (nwins,), Pyy (nchz, nwins), Pxy_re, Pxy_im)`` over the
+    FULL two-sided spectrum in natural (DFT) bin order, scaled by
+    ``norm``; callers apply ``fftshift``.  Optional ``taps`` filter every
+    channel causally; detrend is the global (complex) mean.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    kprec = resolve_kernel_precision(precision)
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    if y.ndim == 1:
+        y = y[None]
+    nchz = y.shape[0]
+    if _v3_geometry(nwins, noverlap, 2 * nchz + 1) is None:
+        raise ValueError(
+            f"v3 two-sided kernel: unsupported geometry nwins={nwins} "
+            f"noverlap={noverlap} nchz={nchz}")
+    if detrend_style not in (0, 1):
+        raise ValueError("v3 welch kernel supports detrend mean/none")
+    # interleave (re, im) channel pairs: [x_re | x_im, y0_re, y0_im, ...]
+    xr = jnp.real(x).astype(jnp.float32)
+    rest = [jnp.imag(x).astype(jnp.float32)]
+    for c in range(nchz):
+        rest.append(jnp.real(y[c]).astype(jnp.float32))
+        rest.append(jnp.imag(y[c]).astype(jnp.float32))
+    y_all = jnp.stack(rest)
+    taps_key = (tuple(np.asarray(taps, np.float64).tolist())
+                if taps is not None else None)
+    win_key = tuple(np.asarray(win, np.float64).tolist())
+    return _v3_pipeline(
+        xr, y_all, jnp.float32(norm), navr=navr, nwins=nwins,
+        noverlap=noverlap, taps_key=taps_key, win_key=win_key,
+        detrend_style=int(detrend_style), kprec=kprec,
+        interpret=bool(interpret), cplx=True)
+
+
+# --------------------------------------------------------------------------- #
+# STFT variant: per-segment spectra written to HBM (no power accumulation)
+# --------------------------------------------------------------------------- #
+
+def _v3_stft_kernel(cur_ref, head_ref, mrow_ref, *refs, counts, C, R, Sseg,
+                    navr, blk, unroll, kprec, cplx=False):
+    """Grid ``(nb,)``: every step writes its ``unroll * Sseg`` segments'
+    spectra straight out — the role of ``fftanal.fft_win``'s hot loop
+    (reference ``fft_analysis.py:2126-2176``) with the same all-matmul
+    pipeline as the Welch kernel."""
+    tabs, outs = _unpack_tabs(refs, counts)
+    xr_ref, xi_ref = outs[:2]
+    b = pl.program_id(0)
+    for k in range(unroll):
+        X3r, X3i = _chunk_spectra(cur_ref, head_ref, mrow_ref, tabs, b, k,
+                                  C=C, R=R, Sseg=Sseg, navr=navr, blk=blk,
+                                  unroll=unroll, kprec=kprec, cplx=cplx)
+        xr_ref[:, k * Sseg:(k + 1) * Sseg] = X3r
+        xi_ref[:, k * Sseg:(k + 1) * Sseg] = X3i
+
+
+@partial(jax.jit, static_argnames=("navr", "nwins", "noverlap", "win_key",
+                                   "detrend_style", "kprec", "interpret",
+                                   "cplx"))
+def _v3_stft_pipeline(x, y, norm, *, navr, nwins, noverlap, win_key,
+                      detrend_style, kprec, interpret, cplx=False):
+    nch, nt = y.shape
+    C = nch + 1
+    N = C * _LANES
+    R, hr, Sseg, blk, L = _v3_geometry(nwins, noverlap, nch)
+    nchunks = -(-navr // Sseg)
+    unroll = max(1, min(4, nchunks, (3 * 1024 * 1024) // (2 * 4 * blk * N)))
+    nb = -(-nchunks // unroll)
+    need_rows = (nb * unroll + 1) * blk
+    nrows = -(-need_rows // 512) * 512
+    Co = C // 2 if cplx else C
+    nseg_pad = nb * unroll * Sseg
+
+    from .pallas_fir import fir_pallas, fir_transpose_pallas
+    if detrend_style == 1:
+        S = jnp.concatenate([jnp.sum(x[:nt])[None],
+                             jnp.sum(y[:, :nt], axis=-1)])
+        m_ch = S / nt
+        m_row = jnp.repeat(m_ch, _LANES, total_repeat_length=N)[None]
+    else:
+        m_row = jnp.zeros((1, N), jnp.float32)
+    if nt % _LANES == 0:
+        sig2 = fir_transpose_pallas(x, y, (1.0,), nrows,
+                                    interpret=interpret, precision=kprec)
+    else:
+        Ltot = nrows * _LANES
+        sig = jnp.concatenate([x[None], y], axis=0)
+        sig = jnp.concatenate(
+            [sig, jnp.zeros((C, Ltot - nt), jnp.float32)], axis=1)
+        sig2 = fir_pallas(sig, (1.0,), interpret=interpret,
+                          transposed_out=True, precision=kprec)
+
+    tables, counts = _v3_tables_host(nwins, hr, C, win_key, kprec)
+    Rh = max(R, 8)
+    in_specs = [
+        pl.BlockSpec((unroll * blk, N), lambda b: (b, 0)),
+        pl.BlockSpec((Rh, N), lambda b: ((b + 1) * unroll * blk // Rh, 0)),
+        pl.BlockSpec((1, N), lambda b: (0, 0)),
+        *[pl.BlockSpec(t.shape, lambda b: tuple(0 for _ in t.shape))
+          for t in tables],
+    ]
+    seg_blk = unroll * Sseg
+    out_specs = [pl.BlockSpec((Co, seg_blk, R, _LANES),
+                              lambda b: (0, b, 0, 0))] * 2
+    out_shape = [jax.ShapeDtypeStruct((Co, nseg_pad, R, _LANES),
+                                      jnp.float32)] * 2
+
+    Xr, Xi = pl.pallas_call(
+        partial(_v3_stft_kernel, counts=counts, C=C, R=R, Sseg=Sseg,
+                navr=navr, blk=blk, unroll=unroll, kprec=kprec, cplx=cplx),
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(sig2, sig2, m_row, *map(jnp.asarray, tables))
+
+    # natural order: (Co, nseg, R, 128)[c, s, q, p] -> bin k = q + R p
+    Xr = Xr[:, :navr].transpose(0, 1, 3, 2).reshape(Co, navr, nwins) * norm
+    Xi = Xi[:, :navr].transpose(0, 1, 3, 2).reshape(Co, navr, nwins) * norm
+    return Xr, Xi
+
+
+def stft_pallas3(x, y=None, win=None, norm=1.0, *, navr, nwins, noverlap,
+                 detrend_style=1, precision=None, interpret=None):
+    """Fused per-segment STFT of real or complex signals, v3 kernel.
+
+    ``x (nt,)`` (plus optional extra channels ``y (nch, nt)``) -> natural-
+    order DFT coefficients ``(Xr, Xi)`` of shape ``(C, navr, nwins)``
+    scaled by ``norm``; complex inputs ride the kernel as (re, im) channel
+    pairs.  Detrend is the global mean (reference fft_analysis.py:357).
+    Callers apply one-sided slicing / fftshift and the fft_win scaling
+    conventions (reference :2179-2202).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    kprec = resolve_kernel_precision(precision)
+    x = jnp.asarray(x)
+    ys = [] if y is None else [jnp.asarray(r) for r in jnp.atleast_2d(y)]
+    cplx = any(jnp.iscomplexobj(a) for a in [x] + ys)
+    if cplx:
+        chans = []
+        for a in [x] + ys:
+            chans.append(jnp.real(a).astype(jnp.float32))
+            chans.append(jnp.imag(a).astype(jnp.float32))
+        nch_k = len(chans) - 1
+    else:
+        chans = [a.astype(jnp.float32) for a in [x] + ys]
+        nch_k = len(chans) - 1
+    if _v3_geometry(nwins, noverlap, max(nch_k, 1)) is None:
+        raise ValueError(
+            f"v3 stft kernel: unsupported geometry nwins={nwins} "
+            f"noverlap={noverlap}")
+    if detrend_style not in (0, 1):
+        raise ValueError("v3 stft kernel supports detrend mean/none")
+    x0 = chans[0]
+    y_all = (jnp.stack(chans[1:]) if len(chans) > 1
+             else jnp.zeros((1, x0.shape[-1]), jnp.float32))
+    win_key = tuple(np.asarray(win, np.float64).tolist())
+    Xr, Xi = _v3_stft_pipeline(
+        x0, y_all, jnp.float32(norm), navr=navr, nwins=nwins,
+        noverlap=noverlap, win_key=win_key,
+        detrend_style=int(detrend_style), kprec=kprec,
+        interpret=bool(interpret), cplx=cplx)
+    nsig = len(chans) // 2 if cplx else len(chans)
+    return Xr[:nsig], Xi[:nsig]

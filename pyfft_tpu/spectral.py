@@ -331,8 +331,8 @@ def _welch_core_pallas(xr, yr, win_np, s1sq_enbw, *, navr, nwins, noverlap,
     nch = 1 if np.ndim(yr) == 1 else np.shape(yr)[0]
     if (detrend_style in (0, 1)
             and pallas_welch2_applicable(nwins, noverlap, navr, nch)):
-        # factored-transform kernel: ~2.3x the v1 full-table throughput,
-        # and per-segment detrend exactly as the reference's hot loop
+        # v3 factored-transform kernel (global detrend, matching the
+        # reference's pre-loop detrend and the mxu/xla cores)
         Pxx, Pyy, Pxy_re, Pxy_im = welch_fir_pallas_fused(
             xr, yr, win_np, nnyquist, norm, navr=navr, nwins=nwins,
             noverlap=noverlap, detrend_style=detrend_style)
@@ -363,9 +363,30 @@ def _run_welch_core(x_in, y_in, win, s1sq_enbw, *, backend, **static):
         x_np = np.asarray(x_in)
         y_np = np.asarray(y_in)
         from .ops.pallas_welch import pallas_welch_applicable
+        from .ops.pallas_welch3 import (pallas_welch3_cplx_applicable,
+                                        welch_pallas3_twosided)
+        is_cplx = np.iscomplexobj(x_np) or np.iscomplexobj(y_np)
+        if (is_cplx and not static["onesided"] and not static["ntmodel"]
+                and static["detrend_style"] in (0, 1)
+                and pallas_welch3_cplx_applicable(
+                    static["nwins"], static["noverlap"], static["navr"],
+                    y_np.shape[1], static["detrend_style"])):
+            # fused two-sided complex path (the Doppler IQ configuration)
+            norm = np.float32(1.0 / (s1sq_enbw * static["navr"]))
+            Pxx, Pyy, Pr, Pi = welch_pallas3_twosided(
+                x_np.astype(np.complex64), y_np.T.astype(np.complex64),
+                np.asarray(win), norm, navr=static["navr"],
+                nwins=static["nwins"], noverlap=static["noverlap"],
+                detrend_style=static["detrend_style"])
+            sh = lambda a: np.fft.fftshift(np.asarray(a), axes=-1)  # noqa
+            return dict(
+                Pxx=sh(Pxx).astype(np.complex128),
+                Pyy=sh(Pyy).T.astype(np.complex128),
+                Pxy=(sh(Pr) + 1j * sh(Pi)).T,
+                Pxx_seg=None, Pyy_seg=None, Pxy_seg=None,
+                Xfft_seg=None, Yfft_seg=None)
         applicable = (static["onesided"] and not static["ntmodel"]
-                      and not np.iscomplexobj(x_np)
-                      and not np.iscomplexobj(y_np)
+                      and not is_cplx
                       and pallas_welch_applicable(static["nwins"],
                                                   static["nnyquist"],
                                                   static["navr"]))

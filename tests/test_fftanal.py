@@ -159,3 +159,36 @@ def test_plot_correlations_headless():
         out = obj.plotCorrelations(axs=list(axs.ravel()))
         assert out is not None
     plt.close("all")
+
+
+def test_stft_segments_pallas_fast_path_matches_xla():
+    """The fused v3 STFT (fft_backend='pallas') must reproduce the generic
+    core including tt and the trapezoid pseg (reference fft_win contract,
+    fft_analysis.py:2126-2203)."""
+    from pyfft_tpu.fftanal import stft_segments
+    from pyfft_tpu import segmentation as sgm
+    rng = np.random.default_rng(11)
+    fs, nt = 1e3, 1 << 13
+    t = np.arange(nt) / fs
+    for sig, onesided in [
+        (np.sin(2 * np.pi * 60 * t) + 2.0 + 0.1 * rng.standard_normal(nt),
+         True),
+        ((np.exp(1j * 2 * np.pi * 60 * t)
+          + 0.1 * (rng.standard_normal(nt) + 1j * rng.standard_normal(nt))),
+         False),
+    ]:
+        plan = sgm.plan_segments(nt, nwins=512, windowoverlap=0.5)
+        win = np.hanning(plan.nwins + 1)[:-1]
+        tt1, f1, X1, p1 = stft_segments(sig, t, win, plan, fs,
+                                        onesided=onesided,
+                                        fft_backend="xla")
+        tt2, f2, X2, p2 = stft_segments(sig, t, win, plan, fs,
+                                        onesided=onesided,
+                                        fft_backend="pallas")
+        np.testing.assert_allclose(tt2, np.asarray(tt1), rtol=1e-9)
+        np.testing.assert_allclose(f2, f1, atol=1e-12)
+        s = np.abs(np.asarray(X1)).max()
+        np.testing.assert_allclose(np.asarray(X2), np.asarray(X1),
+                                   rtol=1e-4, atol=1e-5 * s)
+        np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                                   rtol=1e-5, atol=1e-9)

@@ -145,3 +145,46 @@ def test_factored_kernel_rejects_bad_geometry():
                                np.hanning(2001)[:-1], 1000, 1.0,
                                navr=3, nwins=2000, noverlap=1000,
                                interpret=True)
+
+
+# --------------------------------------------------------------------------- #
+# v3 complex two-sided kernel (the Doppler IQ configuration)
+# --------------------------------------------------------------------------- #
+
+def test_pallas_twosided_complex_matches_core():
+    """fft_backend='pallas' on a complex signal must agree with the generic
+    core (reference two-sided convention, fft_analysis.py:423-427)."""
+    from pyfft_tpu.spectral import welch_cross_spectra
+    from pyfft_tpu import segmentation as sgm
+    rng = np.random.default_rng(3)
+    nt, nwins = 1 << 14, 512
+    t = np.arange(nt) / 1e3
+    z = (np.exp(1j * (2 * np.pi * 97.0 * t + 0.4))
+         + 0.1 * (rng.standard_normal(nt) + 1j * rng.standard_normal(nt)))
+    y = 0.5 * z * np.exp(-1j * 0.3) + 0.05 * (
+        rng.standard_normal(nt) + 1j * rng.standard_normal(nt))
+    plan = sgm.plan_segments(nt, nwins=nwins, windowoverlap=0.5)
+    win = np.hanning(nwins + 1)[:-1]
+    ref = welch_cross_spectra(z, y, win, plan, 1e3, onesided=False,
+                              detrend_style=1, fft_backend="xla")
+    out = welch_cross_spectra(z, y, win, plan, 1e3, onesided=False,
+                              detrend_style=1, fft_backend="pallas")
+    assert out["Pxx_seg"] is None          # fused path: no per-segment data
+    s = np.abs(np.asarray(ref["Pxx"])).max()
+    np.testing.assert_allclose(np.asarray(out["Pxx"]), np.asarray(ref["Pxx"]),
+                               rtol=2e-4, atol=2e-5 * s)
+    np.testing.assert_allclose(np.asarray(out["Pxy"]), np.asarray(ref["Pxy"]),
+                               rtol=2e-4, atol=2e-5 * s)
+    # the Doppler line must sit at +97 Hz with the injected -0.3 phase
+    ipk = int(np.argmax(np.abs(np.asarray(out["Pxx"]))))
+    assert abs(out["freq"][ipk] - 97.0) < 1e3 / nwins
+    ph = np.angle(np.asarray(out["Pxy"])[ipk])
+    assert abs(ph + 0.3) < 2e-2
+
+
+def test_pallas_twosided_rejects_bad_geometry():
+    from pyfft_tpu.ops.pallas_welch3 import welch_pallas3_twosided
+    z = np.zeros(4096, np.complex64)
+    with pytest.raises(ValueError, match="unsupported geometry"):
+        welch_pallas3_twosided(z, z[None], np.hanning(500), 1.0,
+                               navr=8, nwins=500, noverlap=250)
