@@ -5,14 +5,16 @@ distributed four-step FFT (TP with all-to-all transposes)."""
 from .mesh import make_mesh, shard_map, P, Mesh, NamedSharding
 from .welch import welch_psd_sharded, plan_shard_segments
 from .fir import fir_filter_sharded
-from .fft import fft_sharded, ifft_sharded, axis_swap, four_step_factor
+from .fft import (fft_sharded, ifft_sharded, rfft_sharded, irfft_sharded,
+                  axis_swap, four_step_factor)
 from .runtime import (init_distributed, make_host_mesh, scaling_report,
                       measure_scaling)
 from .stft import stft_sharded
 
 __all__ = ["make_mesh", "shard_map", "P", "Mesh", "NamedSharding",
            "welch_psd_sharded", "plan_shard_segments", "fir_filter_sharded",
-           "fft_sharded", "ifft_sharded", "axis_swap", "four_step_factor",
+           "fft_sharded", "ifft_sharded", "rfft_sharded", "irfft_sharded",
+           "axis_swap", "four_step_factor",
            "init_distributed", "make_host_mesh", "scaling_report",
            "measure_scaling",
            "stft_sharded"]

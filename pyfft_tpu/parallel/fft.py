@@ -44,14 +44,16 @@ from ..ops import mxu_fft
 from ..spectral import resolve_fft_backend
 from .mesh import shard_map, P, NamedSharding
 
-__all__ = ["fft_sharded", "ifft_sharded", "axis_swap", "four_step_factor"]
+__all__ = ["fft_sharded", "ifft_sharded", "rfft_sharded", "irfft_sharded",
+           "axis_swap", "four_step_factor"]
 
 
 def four_step_factor(n: int, d: int):
     """Pick ``N1 * N2 = n`` with ``d | N1``, ``d | N2``, ``N1`` near sqrt(n).
 
     Both factors must be divisible by the shard count so each all-to-all
-    moves equal tiles.  Raises if no such factorization exists.
+    moves equal tiles.  Raises if no such factorization exists (lengths
+    with ``d^2 !| N`` go through the distributed Bluestein path instead).
     """
     if n % (d * d):
         raise ValueError(
@@ -143,19 +145,73 @@ def _fourstep_jit(xr, xi, *, n, n1, n2, d, axis_name, backend, sign, mesh):
                      out_specs=(spec, spec))(xr, xi)
 
 
+def _bluestein_sharded(xr, xi, mesh, axis_name, backend):
+    """Distributed chirp-z transform for lengths with ``d^2 !| N``.
+
+    Re-expresses the length-``N`` DFT as an ``M``-point circular
+    convolution (``M`` = next power of two >= ``2N-1``, always a multiple
+    of ``d^2``): chirp-multiply locally, two four-step transforms of
+    length M, chirp-multiply back.  ~4x the arithmetic of a native
+    four-step, in exchange for supporting every N; the collective pattern
+    (two all-to-all rounds per transform) is unchanged.
+    """
+    n = np.shape(xr)[-1]
+    d = mesh.shape[axis_name]
+    M = 1 << int(np.ceil(np.log2(2 * n - 1)))
+    while M % (d * d):
+        M <<= 1
+    # exact chirp tables (host, float64 angle reduction mod 2N)
+    sq = (np.arange(n, dtype=np.int64) ** 2) % (2 * n)
+    ang = np.pi * sq.astype(np.float64) / n
+    a_re, a_im = np.cos(ang), -np.sin(ang)
+    v = np.exp(1j * ang)
+    v_ext = np.zeros(M, dtype=np.complex128)
+    v_ext[:n] = v
+    if n > 1:
+        v_ext[M - n + 1:] = v[1:][::-1]
+    V = np.fft.fft(v_ext)
+
+    lead = np.shape(xr)[:-1]
+    pad = [(0, 0)] * len(lead) + [(0, M - n)]
+    ur = np.pad(np.asarray(xr) * a_re - np.asarray(xi) * a_im, pad)
+    ui = np.pad(np.asarray(xr) * a_im + np.asarray(xi) * a_re, pad)
+
+    Ur, Ui = _run(ur + 1j * ui, mesh, axis_name, backend, inverse=False)
+    Ur, Ui = np.asarray(Ur), np.asarray(Ui)
+    Wr = Ur * V.real - Ui * V.imag
+    Wi = Ur * V.imag + Ui * V.real
+    wr, wi = _run(Wr + 1j * Wi, mesh, axis_name, backend, inverse=True)
+    wr = np.asarray(wr)[..., :n]
+    wi = np.asarray(wi)[..., :n]
+    yr = wr * a_re - wi * a_im
+    yi = wr * a_im + wi * a_re
+    spec = P(*([None] * len(lead) + [axis_name]))
+    sh = NamedSharding(mesh, spec)
+    return (jax.device_put(jnp.asarray(yr), sh),
+            jax.device_put(jnp.asarray(yi), sh))
+
+
 def _run(x, mesh, axis_name, backend, inverse):
     backend = resolve_fft_backend(backend)
     if backend == "pallas":
         backend = "mxu"
     d = mesh.shape[axis_name]
     n = x.shape[-1]
-    n1, n2 = four_step_factor(n, d)
 
     x = np.asarray(x) if not isinstance(x, jax.Array) else x
     if np.iscomplexobj(x):
         xr, xi = np.real(x), np.imag(x)
     else:
         xr, xi = x, np.zeros_like(x)
+
+    if n % (d * d):
+        # no equal-tile four-step factorization: distributed Bluestein
+        if inverse:
+            yr, yi = _bluestein_sharded(xr, -np.asarray(xi), mesh,
+                                        axis_name, backend)
+            return yr / n, -yi / n
+        return _bluestein_sharded(xr, xi, mesh, axis_name, backend)
+    n1, n2 = four_step_factor(n, d)
 
     spec = P(*([None] * (np.ndim(xr) - 1) + [axis_name]))
     sh = NamedSharding(mesh, spec)
@@ -188,6 +244,48 @@ def fft_sharded(x, mesh, axis_name="t", backend=None):
 def ifft_sharded(x, mesh, axis_name="t", backend=None):
     """Distributed inverse FFT (1/N normalized) along the last axis."""
     return _run(x, mesh, axis_name, backend, inverse=True)
+
+
+def rfft_sharded(x, mesh, axis_name="t", backend=None):
+    """Distributed real-input FFT: the ``n//2 + 1`` non-negative bins.
+
+    Runs the full distributed transform and returns the sliced half
+    spectrum as host numpy ``(re, im)`` (the output no longer tiles evenly
+    over the mesh, so it is gathered; the heavy lifting — the transform
+    itself — is what runs distributed).
+    """
+    yr, yi = fft_sharded(np.asarray(x), mesh, axis_name, backend)
+    keep = np.shape(x)[-1] // 2 + 1
+    return np.asarray(yr)[..., :keep], np.asarray(yi)[..., :keep]
+
+
+def irfft_sharded(re, im, n, mesh, axis_name="t", backend=None):
+    """Distributed inverse of :func:`rfft_sharded` (length-``n`` real out).
+
+    The hermitian extension of the ``n//2 + 1``-bin input happens on the
+    host (numpy), the ``n``-point inverse transform runs distributed.
+    Matches ``numpy.fft.irfft`` semantics including zero-padding of short
+    inputs (reference ``fft_analysis.py:548``).
+    """
+    re = np.array(re, dtype=np.float64)
+    im = np.array(im, dtype=np.float64)
+    need = n // 2 + 1
+    if re.shape[-1] < need:
+        pad = [(0, 0)] * (re.ndim - 1) + [(0, need - re.shape[-1])]
+        re = np.pad(re, pad)
+        im = np.pad(im, pad)
+    else:
+        re = re[..., :need]
+        im = im[..., :need]
+    im[..., 0] = 0.0
+    if n % 2 == 0:
+        im[..., -1] = 0.0
+    body = slice(1, need - 1) if n % 2 == 0 else slice(1, need)
+    full = np.concatenate([re + 1j * im,
+                           (re[..., body] - 1j * im[..., body])[..., ::-1]],
+                          axis=-1)
+    yr, _ = ifft_sharded(full, mesh, axis_name, backend)
+    return np.asarray(yr)
 
 
 def axis_swap(x, mesh, axis_name, sharded_axis, target_axis):

@@ -69,3 +69,43 @@ def test_axis_swap_values_and_sharding(tmesh):
 
     with pytest.raises(ValueError):
         axis_swap(rng.standard_normal((16, 7)), tmesh, "t", 0, 1)
+
+
+@needs8
+def test_fft_sharded_bluestein_non_d2_length():
+    """Lengths without a d^2 factorization route through the distributed
+    Bluestein chirp-z path and still match numpy exactly."""
+    rng = np.random.default_rng(9)
+    mesh = pmesh.make_mesh(ch=1, t=8)
+    for n in (1000, 768 + 64):      # 1000 = 8 * 125 (8^2 !| 1000), 832
+        z = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        yr, yi = fft_sharded(z, mesh)
+        ref = np.fft.fft(z)
+        np.testing.assert_allclose(np.asarray(yr), ref.real, rtol=1e-9,
+                                   atol=1e-8 * np.abs(ref).max())
+        np.testing.assert_allclose(np.asarray(yi), ref.imag, rtol=1e-9,
+                                   atol=1e-8 * np.abs(ref).max())
+        xr, xi = ifft_sharded(np.asarray(yr) + 1j * np.asarray(yi), mesh)
+        np.testing.assert_allclose(np.asarray(xr), z.real, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(xi), z.imag, atol=1e-9)
+
+
+@needs8
+def test_rfft_irfft_sharded_roundtrip():
+    rng = np.random.default_rng(10)
+    mesh = pmesh.make_mesh(ch=1, t=8)
+    n = 4096
+    x = rng.standard_normal(n)
+    from pyfft_tpu.parallel.fft import rfft_sharded, irfft_sharded
+    re, im = rfft_sharded(x, mesh)
+    ref = np.fft.rfft(x)
+    np.testing.assert_allclose(re, ref.real, rtol=1e-9,
+                               atol=1e-8 * np.abs(ref).max())
+    np.testing.assert_allclose(im, ref.imag, rtol=1e-9,
+                               atol=1e-8 * np.abs(ref).max())
+    xb = irfft_sharded(re, im, n, mesh)
+    np.testing.assert_allclose(xb, x, atol=1e-9)
+    # truncated-spectrum zero-pad semantics (numpy irfft contract)
+    xt = irfft_sharded(re[:n // 4], im[:n // 4], n, mesh)
+    np.testing.assert_allclose(
+        xt, np.fft.irfft(ref[:n // 4], n=n), atol=1e-9)
