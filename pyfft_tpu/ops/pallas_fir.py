@@ -268,11 +268,12 @@ def _fir_t_kernel(x_ref, y_ref, xh_ref, yh_ref, *refs, m, rows, kprec,
 
 
 @partial(jax.jit, static_argnames=("K", "m", "rows", "nrows_out", "kprec",
-                                   "interpret"))
+                                   "interpret", "C"))
 def _fir_t_pipeline(x, y, bands_flat, *, K, m, rows, nrows_out, kprec,
-                    interpret):
+                    interpret, C=None):
     nch, nt = y.shape
-    C = nch + 1
+    if C is None:
+        C = nch + 1
     nr = nt // _LANES
     nrb_sig = nr // rows
     nrb_out = nrows_out // rows
@@ -340,6 +341,12 @@ def fir_transpose_pallas(x, y, taps, nrows_out, interpret=None,
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     nt = x.shape[-1]
+    C = y.shape[0] + 1
+    if y.shape[0] == 0:
+        # single-signal case: the y BlockSpec still needs an array to map
+        # into, but the kernel only ever selects x (c == 0 always)
+        y = jnp.zeros((1, nt), jnp.float32)
+        C = 1
     if nt % _LANES:
         raise ValueError("fir_transpose_pallas needs nt % 128 == 0")
     nr = nt // _LANES
@@ -355,4 +362,4 @@ def fir_transpose_pallas(x, y, taps, nrows_out, interpret=None,
     bands_flat = tuple(b for blk in bands for b in blk)
     return _fir_t_pipeline(x, y, bands_flat, K=K, m=m, rows=rows,
                            nrows_out=nrows_out, kprec=kprec,
-                           interpret=bool(interpret))
+                           interpret=bool(interpret), C=C)

@@ -675,7 +675,7 @@ def stft_pallas3(x, y=None, win=None, norm=1.0, *, navr, nwins, noverlap,
         raise ValueError("v3 stft kernel supports detrend mean/none")
     x0 = chans[0]
     y_all = (jnp.stack(chans[1:]) if len(chans) > 1
-             else jnp.zeros((1, x0.shape[-1]), jnp.float32))
+             else jnp.zeros((0, x0.shape[-1]), jnp.float32))
     win_key = tuple(np.asarray(win, np.float64).tolist())
     Xr, Xi = _v3_stft_pipeline(
         x0, y_all, jnp.float32(norm), navr=navr, nwins=nwins,

@@ -385,11 +385,16 @@ def _run_welch_core(x_in, y_in, win, s1sq_enbw, *, backend, **static):
                 Pxy=(sh(Pr) + 1j * sh(Pi)).T,
                 Pxx_seg=None, Pyy_seg=None, Pxy_seg=None,
                 Xfft_seg=None, Yfft_seg=None)
+        from .ops.pallas_welch import pallas_welch2_applicable
         applicable = (static["onesided"] and not static["ntmodel"]
                       and not is_cplx
-                      and pallas_welch_applicable(static["nwins"],
-                                                  static["nnyquist"],
-                                                  static["navr"]))
+                      and (pallas_welch2_applicable(
+                               static["nwins"], static["noverlap"],
+                               static["navr"],
+                               detrend_style=static["detrend_style"])
+                           or pallas_welch_applicable(static["nwins"],
+                                                      static["nnyquist"],
+                                                      static["navr"])))
         if applicable:
             out = _welch_core_pallas(
                 jnp.asarray(x_np, jnp.float32),

@@ -242,10 +242,14 @@ def windows(windowfunction, **kwargs):
     key, beta = _resolve_name(windowfunction, beta)
 
     if key == "kaiser":
-        if beta is None:
+        # beta is only needed to *build* the window; the bare ROV lookup
+        # (the reference's fft_analysis.py:104-111 defaulting call) works
+        # without it, exactly as the reference dispatcher does
+        if beta is None and "nwins" in kwargs:
             raise ValueError("kaiser window requires a 'beta' keyword")
         str1 = "Kaiser type"
-        str2 = "(parameters dependent on input shaping parameter %4.3f)" % (beta,)
+        str2 = ("(parameters dependent on input shaping parameter %4.3f)"
+                % (beta,) if beta is not None else "(beta pending)")
         func = lambda M: np.kaiser(M, beta)  # noqa: E731
         ROV = 2.0 / 3.0  # reference fixes this; true value varies with beta
     else:

@@ -17,7 +17,7 @@ def wait_for_tpu(max_wait_s=7200, poll_s=60):
     t0 = time.time()
     while time.time() - t0 < max_wait_s:
         try:
-            r = subprocess.run([sys.executable, "-c", probe], timeout=90,
+            r = subprocess.run([sys.executable, "-c", probe], timeout=360,
                                capture_output=True, text=True)
             if r.returncode == 0 and "4096" in r.stdout:
                 print("TPU ready after %.0fs" % (time.time() - t0),
@@ -69,6 +69,8 @@ def main():
           + 0.01 * rng.standard_normal(N)).astype(np.float32)
     args = dict(tbounds=[t[1], t[-2]], Navr=8, windowfunction="hanning",
                 plotit=False, verbose=False)
+    results = {"device": getattr(jax.devices()[0], "device_kind", "?"),
+               "fir_rel_err": float(err), "kernels": {}}
     for be in ("mxu", "pallas"):
         t0 = time.time()
         out = ft.fft_pwelch(t, xs, ys, fft_backend=be, **args)
@@ -81,7 +83,76 @@ def main():
               % (be, t1 - t0, t2 - t1, freq[ipk], phi[ipk]), flush=True)
         assert abs(freq[ipk] - 150) < 2 * (freq[1] - freq[0])
         assert abs(phi[ipk] + np.pi / 4) < 2e-3
+        results["kernels"][f"welch_{be}"] = {
+            "compile_s": round(t1 - t0, 2), "warm_s": round(t2 - t1, 4),
+            "f_peak": float(freq[ipk]), "phi_peak": float(phi[ipk])}
 
+    # ---- v3 fused chain (FIR + welch) numeric accuracy vs f64 numpy ----
+    from pyfft_tpu import segmentation as seg
+    from pyfft_tpu.ops.pallas_welch import welch_fir_pallas_fused
+    nt3 = 1 << 17
+    x3 = rng.standard_normal(nt3).astype(np.float32)
+    y3 = rng.standard_normal((2, nt3)).astype(np.float32)
+    plan3 = seg.plan_segments(nt3, nwins=2048, windowoverlap=0.5)
+    win3 = np.hanning(2049)[:-1]
+    taps3 = flt.firwin(129, [0.05, 0.45], pass_zero=False)
+    Pxx, Pyy, Pr, Pi = welch_fir_pallas_fused(
+        x3, y3, win3, plan3.nnyquist, 1.0 / plan3.navr, navr=plan3.navr,
+        nwins=plan3.nwins, noverlap=plan3.noverlap, taps=taps3,
+        detrend_style=1, interpret=False)
+    xf = np.convolve(x3.astype(np.float64), taps3, "full")[:nt3]
+    xf -= xf.mean()
+    hop3 = plan3.nwins - plan3.noverlap
+    P = np.zeros(plan3.nwins)
+    for g in range(plan3.navr):
+        X = np.fft.fft(win3 * xf[g * hop3:g * hop3 + plan3.nwins])
+        P += np.abs(X) ** 2
+    P /= plan3.navr
+    err3 = float(np.abs(np.asarray(Pxx) - P[:plan3.nnyquist]).max() / P.max())
+    print("v3 welch+fir chain: rel-err %.2e" % err3, flush=True)
+    assert err3 < 5e-5, err3
+    results["kernels"]["welch_v3_chain"] = {"rel_err_vs_f64": err3}
+
+    # ---- v3 two-sided complex kernel (Doppler IQ) ----
+    from pyfft_tpu.ops.pallas_welch3 import welch_pallas3_twosided
+    z = (np.exp(1j * 2 * np.pi * 0.11 * np.arange(nt3))
+         + 0.1 * (rng.standard_normal(nt3)
+                  + 1j * rng.standard_normal(nt3))).astype(np.complex64)
+    Pz, _, _, _ = welch_pallas3_twosided(
+        z, z[None], win3, 1.0 / plan3.navr, navr=plan3.navr,
+        nwins=plan3.nwins, noverlap=plan3.noverlap, detrend_style=1,
+        interpret=False)
+    zd = z.astype(np.complex128) - z.astype(np.complex128).mean()
+    Pref = np.zeros(plan3.nwins)
+    for g in range(plan3.navr):
+        Z = np.fft.fft(win3 * zd[g * hop3:g * hop3 + plan3.nwins])
+        Pref += np.abs(Z) ** 2
+    Pref /= plan3.navr
+    errz = float(np.abs(np.asarray(Pz) - Pref).max() / Pref.max())
+    print("v3 two-sided complex: rel-err %.2e" % errz, flush=True)
+    assert errz < 5e-5, errz
+    results["kernels"]["welch_v3_twosided"] = {"rel_err_vs_f64": errz}
+
+    # ---- v3 STFT kernel ----
+    from pyfft_tpu.ops.pallas_welch3 import stft_pallas3
+    Xr, Xi = stft_pallas3(x3, None, win3, 1.0, navr=plan3.navr,
+                          nwins=plan3.nwins, noverlap=plan3.noverlap,
+                          detrend_style=1, interpret=False)
+    xd3 = x3.astype(np.float64) - x3.astype(np.float64).mean()
+    g = plan3.navr // 2
+    Xg = np.fft.fft(win3 * xd3[g * hop3:g * hop3 + plan3.nwins])
+    errs = float(max(
+        np.abs(np.asarray(Xr[0, g]) - Xg.real).max(),
+        np.abs(np.asarray(Xi[0, g]) - Xg.imag).max()) / np.abs(Xg).max())
+    print("v3 stft: rel-err %.2e" % errs, flush=True)
+    assert errs < 5e-5, errs
+    results["kernels"]["stft_v3"] = {"rel_err_vs_f64": errs}
+
+    import json
+    import os
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "TPU_KERNELS.json"), "w") as f:
+        json.dump(results, f, indent=1)
     print("TPU KERNEL VERIFY OK", flush=True)
     return 0
 

@@ -109,3 +109,40 @@ def test_getNpeaks_finds_planted_tones():
     assert abs(freqs[0] - 100) < 5
     assert abs(freqs[1] - 222) < 5
     assert abs(freqs[2] - 333) < 5
+
+
+def test_getNpeaks_golden_vs_reference(ref_fft):
+    """Golden parity of the peak-picker incl. the edge-blanking branches
+    (reference getNpeaks, fft_analysis.py:940-1027): one tone near DC so a
+    blanking window clips the start of the range, one near Nyquist."""
+    rng = np.random.default_rng(4)
+    fs, N = 1e3, 2 ** 12
+    t = np.arange(N) / fs
+    x = (1.0 * np.sin(2 * np.pi * 12.0 * t)          # near-DC peak
+         + 0.8 * np.sin(2 * np.pi * 180.0 * t)
+         + 0.6 * np.sin(2 * np.pi * 480.0 * t)       # near Nyquist
+         + 0.01 * rng.standard_normal(N))
+    kw = dict(tbounds=[t[1], t[-2]], Navr=8, plotit=False, verbose=False)
+    ours = getNpeaks(3, t, x, x, **kw)
+    ref = ref_fft.getNpeaks(3, t, x, x, **kw)
+    assert len(ours) == len(ref) == 3
+    for (a1, f1, p1), (a2, f2, p2) in zip(ours, ref):
+        np.testing.assert_allclose(f1, f2, atol=1e-9)
+        np.testing.assert_allclose(a1, a2, rtol=1e-7)
+        np.testing.assert_allclose(p1, p2, atol=1e-7)
+
+
+def test_getNpeaks_fmin_fmax_and_minsep(ref_fft):
+    """Range restriction + minsep blanking parity."""
+    rng = np.random.default_rng(5)
+    fs, N = 1e3, 2 ** 12
+    t = np.arange(N) / fs
+    x = (np.sin(2 * np.pi * 100.0 * t) + 0.7 * np.sin(2 * np.pi * 110.0 * t)
+         + 0.01 * rng.standard_normal(N))
+    kw = dict(tbounds=[t[1], t[-2]], Navr=8, plotit=False, verbose=False,
+              fmin=50.0, fmax=400.0, minsep=3)
+    ours = getNpeaks(2, t, x, x, **kw)
+    ref = ref_fft.getNpeaks(2, t, x, x, **kw)
+    for (a1, f1, p1), (a2, f2, p2) in zip(ours, ref):
+        np.testing.assert_allclose(f1, f2, atol=1e-9)
+        np.testing.assert_allclose(a1, a2, rtol=1e-7)

@@ -188,3 +188,32 @@ def test_pallas_twosided_rejects_bad_geometry():
     with pytest.raises(ValueError, match="unsupported geometry"):
         welch_pallas3_twosided(z, z[None], np.hanning(500), 1.0,
                                navr=8, nwins=500, noverlap=250)
+
+
+def test_v3_covers_large_windows_v1_rejects():
+    """nwins=8192 exceeds the v1 kernel's VMEM tiling but the factored v3
+    kernel takes it (the VERDICT 'nwins > 4096 falls back' gap)."""
+    from pyfft_tpu.ops.pallas_welch import pallas_welch_applicable
+    from pyfft_tpu.ops.pallas_welch3 import (pallas_welch3_applicable,
+                                             welch_fir_pallas3)
+    nwins, nov = 8192, 4096
+    assert not pallas_welch_applicable(nwins, nwins // 2 + 1, 16)
+    assert pallas_welch3_applicable(nwins, nov, 16, 2)
+    rng = np.random.default_rng(0)
+    nt = 1 << 16
+    navr = (nt - nov) // (nwins - nov)
+    x = rng.standard_normal(nt).astype(np.float32)
+    y = rng.standard_normal((2, nt)).astype(np.float32)
+    win = np.hanning(nwins + 1)[:-1]
+    Pxx, *_ = welch_fir_pallas3(x, y, win, nwins // 2 + 1, 1.0 / navr,
+                                navr=navr, nwins=nwins, noverlap=nov,
+                                detrend_style=1, precision="highest",
+                                interpret=True)
+    xd = x.astype(np.float64) - x.astype(np.float64).mean()
+    P = np.zeros(nwins)
+    for g in range(navr):
+        X = np.fft.fft(win * xd[g * nov:g * nov + nwins])
+        P += np.abs(X) ** 2
+    P /= navr
+    np.testing.assert_allclose(np.asarray(Pxx), P[:nwins // 2 + 1],
+                               rtol=2e-5, atol=2e-5 * P.max())
