@@ -159,8 +159,10 @@ def stft_segments(x, tvec, win, plan: seg.SegmentPlan, fs, *, onesided=True,
     x = np.asarray(x)
     tv = np.asarray(tvec, dtype=np.float64)
     dt = (tv[-1] - tv[0]) / max(len(tv) - 1, 1)
-    uniform = bool(np.allclose(np.diff(tv[:min(len(tv), 4096)]), dt,
-                               rtol=1e-9, atol=1e-12))
+    # gate the Pallas fast path on the WHOLE timebase being uniform — a
+    # cheap O(nt) host check; a tvec uniform early but irregular later must
+    # take the mxu/xla cores, which honor the true per-segment timebase
+    uniform = bool(np.allclose(np.diff(tv), dt, rtol=1e-9, atol=1e-12))
     if (backend in ("mxu", "pallas") and not detrendwin
             and detrend_style in (0, 1) and plan.nfft == plan.nwins
             and uniform):

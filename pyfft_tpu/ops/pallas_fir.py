@@ -43,7 +43,8 @@ from jax.experimental import pallas as pl
 
 from .precision import dot_bf16x3, resolve_kernel_precision
 
-__all__ = ["fir_pallas", "fir_transpose_pallas", "PALLAS_FIR_MAX_TAPS"]
+__all__ = ["fir_pallas", "fir_transpose_pallas", "fir_transpose_blocking",
+           "PALLAS_FIR_MAX_TAPS"]
 
 PALLAS_FIR_MAX_TAPS = 1024  # m = 8 shifted matmuls; beyond this use overlap-save
 
@@ -322,6 +323,25 @@ def _fir_t_pipeline(x, y, bands_flat, *, K, m, rows, nrows_out, kprec,
     )(xr, yr, xh, yh, *bands_flat)
 
 
+def fir_transpose_blocking(nt, nrows_out, ntaps, block_rows=512):
+    """Largest row blocking ``fir_transpose_pallas`` can use for this
+    geometry, or ``None`` when no legal blocking exists (``nt % 128``,
+    or every common divisor of ``nt//128`` and ``nrows_out`` at or below
+    ``block_rows`` is <= the halo row count ``m`` — e.g. ``nt = 128*998``
+    with 200 taps).  Callers must fall back to the padded
+    :func:`fir_pallas` path when this returns ``None``."""
+    if nt % _LANES:
+        return None
+    nr = nt // _LANES
+    m = -(-(ntaps - 1) // _LANES)
+    rows = int(max(1, min(block_rows, 1024)))
+    while nr % rows or nrows_out % rows:
+        rows //= 2
+        if rows < 1:
+            return None
+    return rows if rows > m else None
+
+
 def fir_transpose_pallas(x, y, taps, nrows_out, interpret=None,
                          precision=None, block_rows=512):
     """Filter ``[x; y]`` and emit the v3 row-major ``(nrows_out, C*128)``
@@ -349,15 +369,12 @@ def fir_transpose_pallas(x, y, taps, nrows_out, interpret=None,
         C = 1
     if nt % _LANES:
         raise ValueError("fir_transpose_pallas needs nt % 128 == 0")
-    nr = nt // _LANES
     m = -(-(K - 1) // _LANES)
-    rows = int(max(1, min(block_rows, 1024)))
-    while nr % rows or nrows_out % rows:
-        rows //= 2
-        if rows < 1:
-            raise ValueError(f"no block size divides nr={nr}")
-    if rows <= m:
-        raise ValueError("taps too long for the row blocking")
+    rows = fir_transpose_blocking(nt, nrows_out, K, block_rows)
+    if rows is None:
+        raise ValueError(
+            f"no row blocking > m={m} divides nr={nt // _LANES} and "
+            f"nrows_out={nrows_out}; use fir_pallas with padding instead")
     bands = _band_blocks(tuple(taps.tolist()), kprec)
     bands_flat = tuple(b for blk in bands for b in blk)
     return _fir_t_pipeline(x, y, bands_flat, K=K, m=m, rows=rows,

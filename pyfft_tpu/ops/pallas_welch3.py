@@ -341,7 +341,8 @@ def _v3_pipeline(x, y, norm, *, navr, nwins, noverlap, taps_key, win_key,
     nrows = -(-need_rows // 512) * 512          # FIR kernel block multiple
     Ltot = nrows * _LANES
 
-    from .pallas_fir import fir_pallas, fir_transpose_pallas
+    from .pallas_fir import (fir_pallas, fir_transpose_pallas,
+                             fir_transpose_blocking)
 
     # global-mean detrend moments of the *filtered* span, computed on the
     # cheap (C, nt) layout before the FIR and corrected exactly for the
@@ -371,8 +372,10 @@ def _v3_pipeline(x, y, norm, *, navr, nwins, noverlap, taps_key, win_key,
     # directly through its output BlockSpec (identity taps when no filter
     # is requested — far cheaper than an XLA transpose of the signal).
     # The in-place feeder avoids every concatenate/pad copy of the signal;
-    # lane-unaligned nt falls back to the padded path.
-    if nt % _LANES == 0:
+    # lane-unaligned nt — or an nt/128 whose divisors are all <= the halo
+    # row count (e.g. nt = 128*998 with 200 taps) — falls back to the
+    # padded path, whose 512-row blocking always works.
+    if fir_transpose_blocking(nt, nrows, K) is not None:
         sig2 = fir_transpose_pallas(x, y, taps_np, nrows,
                                     interpret=interpret, precision=kprec)
     else:

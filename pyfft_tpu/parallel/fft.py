@@ -149,18 +149,19 @@ def _bluestein_sharded(xr, xi, mesh, axis_name, backend):
     """Distributed chirp-z transform for lengths with ``d^2 !| N``.
 
     Re-expresses the length-``N`` DFT as an ``M``-point circular
-    convolution (``M`` = next power of two >= ``2N-1``, always a multiple
-    of ``d^2``): chirp-multiply locally, two four-step transforms of
-    length M, chirp-multiply back.  ~4x the arithmetic of a native
-    four-step, in exchange for supporting every N; the collective pattern
-    (two all-to-all rounds per transform) is unchanged.
+    convolution (``M = d^2 * 2^k >= 2N-1``, so the four-step always
+    factors): chirp-multiply, two four-step transforms of length M,
+    chirp-multiply back.  ~4x the arithmetic of a native four-step, in
+    exchange for supporting every N; the collective pattern (two
+    all-to-all rounds per transform) is unchanged.  The whole chain —
+    chirp multiplies, V-multiply, both transforms — stays device-resident
+    and sharded; only the tiny chirp *tables* are host-built (exact
+    float64 angle reduction mod 2N).
     """
     n = np.shape(xr)[-1]
     d = mesh.shape[axis_name]
-    M = 1 << int(np.ceil(np.log2(2 * n - 1)))
-    while M % (d * d):
-        M <<= 1
-    # exact chirp tables (host, float64 angle reduction mod 2N)
+    dd = d * d
+    M = dd * max(1, 1 << int(np.ceil(np.log2(max((2 * n - 1) / dd, 1)))))
     sq = (np.arange(n, dtype=np.int64) ** 2) % (2 * n)
     ang = np.pi * sq.astype(np.float64) / n
     a_re, a_im = np.cos(ang), -np.sin(ang)
@@ -172,23 +173,55 @@ def _bluestein_sharded(xr, xi, mesh, axis_name, backend):
     V = np.fft.fft(v_ext)
 
     lead = np.shape(xr)[:-1]
-    pad = [(0, 0)] * len(lead) + [(0, M - n)]
-    ur = np.pad(np.asarray(xr) * a_re - np.asarray(xi) * a_im, pad)
-    ui = np.pad(np.asarray(xr) * a_im + np.asarray(xi) * a_re, pad)
+    spec_n = P(*([None] * len(lead) + [axis_name]))
+    sh_n = NamedSharding(mesh, spec_n)
+    sh_M = NamedSharding(mesh, P(axis_name))
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    xr = jax.device_put(jnp.asarray(xr, dtype), sh_n)
+    xi = jax.device_put(jnp.asarray(xi, dtype), sh_n)
+    sh_1n = NamedSharding(mesh, P(axis_name))
+    ar = jax.device_put(jnp.asarray(a_re, dtype), sh_1n)
+    ai = jax.device_put(jnp.asarray(a_im, dtype), sh_1n)
+    Vr = jax.device_put(jnp.asarray(V.real, dtype), sh_M)
+    Vi = jax.device_put(jnp.asarray(V.imag, dtype), sh_M)
 
-    Ur, Ui = _run(ur + 1j * ui, mesh, axis_name, backend, inverse=False)
-    Ur, Ui = np.asarray(Ur), np.asarray(Ui)
-    Wr = Ur * V.real - Ui * V.imag
-    Wi = Ur * V.imag + Ui * V.real
-    wr, wi = _run(Wr + 1j * Wi, mesh, axis_name, backend, inverse=True)
-    wr = np.asarray(wr)[..., :n]
-    wi = np.asarray(wi)[..., :n]
-    yr = wr * a_re - wi * a_im
-    yi = wr * a_im + wi * a_re
-    spec = P(*([None] * len(lead) + [axis_name]))
+    pad = [(0, 0)] * len(lead) + [(0, M - n)]
+    ur = jnp.pad(xr * ar - xi * ai, pad)
+    ui = jnp.pad(xr * ai + xi * ar, pad)
+
+    Ur, Ui = _fourstep_run(ur, ui, mesh, axis_name, backend, inverse=False)
+    Wr = Ur * Vr - Ui * Vi
+    Wi = Ur * Vi + Ui * Vr
+    wr, wi = _fourstep_run(Wr, Wi, mesh, axis_name, backend, inverse=True)
+    wr = wr[..., :n]
+    wi = wi[..., :n]
+    yr = wr * ar - wi * ai
+    yi = wr * ai + wi * ar
+    return (jax.device_put(yr, sh_n), jax.device_put(yi, sh_n))
+
+
+def _fourstep_run(xr, xi, mesh, axis_name, backend, inverse):
+    """Four-step transform of device/host ``(re, im)``; requires
+    ``d^2 | N``.  Returns sharded device arrays (even frequency tiles)."""
+    d = mesh.shape[axis_name]
+    n = np.shape(xr)[-1]
+    n1, n2 = four_step_factor(n, d)
+
+    spec = P(*([None] * (np.ndim(xr) - 1) + [axis_name]))
     sh = NamedSharding(mesh, spec)
-    return (jax.device_put(jnp.asarray(yr), sh),
-            jax.device_put(jnp.asarray(yi), sh))
+    xr = jax.device_put(jnp.asarray(xr), sh)
+    xi = jax.device_put(jnp.asarray(xi), sh)
+
+    # inverse via conjugation: ifft(z) = conj(fft(conj(z))) / N — every
+    # stage (local FFTs *and* twiddles) stays the forward kernel
+    if inverse:
+        xi = -xi
+    yr, yi = _fourstep_jit(xr, xi, n=n, n1=n1, n2=n2, d=d,
+                           axis_name=axis_name, backend=backend,
+                           sign=-1.0, mesh=mesh)
+    if inverse:
+        return yr / n, -yi / n
+    return yr, yi
 
 
 def _run(x, mesh, axis_name, backend, inverse):
@@ -207,27 +240,11 @@ def _run(x, mesh, axis_name, backend, inverse):
     if n % (d * d):
         # no equal-tile four-step factorization: distributed Bluestein
         if inverse:
-            yr, yi = _bluestein_sharded(xr, -np.asarray(xi), mesh,
+            yr, yi = _bluestein_sharded(xr, -jnp.asarray(xi), mesh,
                                         axis_name, backend)
             return yr / n, -yi / n
         return _bluestein_sharded(xr, xi, mesh, axis_name, backend)
-    n1, n2 = four_step_factor(n, d)
-
-    spec = P(*([None] * (np.ndim(xr) - 1) + [axis_name]))
-    sh = NamedSharding(mesh, spec)
-    xr = jax.device_put(jnp.asarray(xr), sh)
-    xi = jax.device_put(jnp.asarray(xi), sh)
-
-    # inverse via conjugation: ifft(z) = conj(fft(conj(z))) / N — every
-    # stage (local FFTs *and* twiddles) stays the forward kernel
-    if inverse:
-        xi = -xi
-    yr, yi = _fourstep_jit(xr, xi, n=n, n1=n1, n2=n2, d=d,
-                           axis_name=axis_name, backend=backend,
-                           sign=-1.0, mesh=mesh)
-    if inverse:
-        return yr / n, -yi / n
-    return yr, yi
+    return _fourstep_run(xr, xi, mesh, axis_name, backend, inverse)
 
 
 def fft_sharded(x, mesh, axis_name="t", backend=None):

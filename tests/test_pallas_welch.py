@@ -96,6 +96,10 @@ def _welch_oracle(x, y, win, navr, nwins, hop, taps=None, detrend=1):
     (1, 1 << 14, 2048, 2048, 0, 1),     # zero overlap
     (2, 1 << 14, 512, 128, 63, 1),      # 75% overlap, short taps
     (3, 40000, 2048, 1024, 129, 1),     # non-multiple nt, odd navr
+    # nt%128==0 but nt/128 = 2*499: no FIR-transpose row blocking > m
+    # exists, so the fused path must fall back to the padded feeder
+    # (round-2 advisor crash repro)
+    (2, 128 * 998, 512, 256, 200, 1),
 ])
 def test_factored_kernel_vs_oracle(nch, nt, nwins, hop, ntaps, detrend):
     from pyfft_tpu.filters import firwin
