@@ -101,17 +101,19 @@ def run_configs():
                               * seg.get_enbw(fs, s1, seg.get_s2(win1))
                               * plan1.navr))
     assert pallas_welch2_applicable(plan1.nwins, plan1.noverlap, plan1.navr, 1)
+    y_empty = jnp.zeros((0, nt), jnp.float32)
 
     @jax.jit
     def welch1(xd):
+        # auto-PSD only: empty channel set -> C=1, no duplicated channel
         Pxx, _, _, _ = welch_fir_pallas_fused(
-            xd, xd[None], win1, plan1.nnyquist, norm1, navr=plan1.navr,
+            xd, y_empty, win1, plan1.nnyquist, norm1, navr=plan1.navr,
             nwins=plan1.nwins, noverlap=plan1.noverlap, detrend_style=1,
             interpret=not on_tpu)
         return jnp.sum(Pxx)
 
     dt = timeit(lambda: welch1(xd))
-    fl = v3_dispatched_flops(plan1.nwins, plan1.noverlap, plan1.navr, 1, 1)
+    fl = v3_dispatched_flops(plan1.nwins, plan1.noverlap, plan1.navr, 0, 1)
     algo = prof.welch_flops(plan1.navr, nwins, nch=1)
     rows.append({"config": 1, "what": "welch_psd_1ch_hann50",
                  "samples_per_s": round(nt / dt, 1), "wall_s": dt,

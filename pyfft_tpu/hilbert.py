@@ -48,6 +48,13 @@ def _hilbert_xla(u, *, nfft, axis):
 
 @partial(jax.jit, static_argnames=("nfft", "axis"))
 def _hilbert_mxu(u, *, nfft, axis):
+    # NOTE (measured, do not "optimize"): routing this through the
+    # half-spectrum rfft_pair/irfft_pair looks like a 2x MXU saving on
+    # paper, but their even/odd packing is a lane-stride-2 de-interleave —
+    # a pathological relayout on TPU that measured ~60x SLOWER than the
+    # full transform for 2^23-sample demod (460 ms vs 7 ms on v5e).  The
+    # full-length real-input path (first-stage matmuls already halve via
+    # im=None) is the fast one on this hardware.
     Ur, Ui = mxu_fft.fft_pair(u, None, n=nfft, axis=axis)
     h = jnp.asarray(analytic_mask(nfft), dtype=Ur.dtype)
     shape = [1] * Ur.ndim

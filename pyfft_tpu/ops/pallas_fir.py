@@ -233,11 +233,15 @@ def fir_pallas(x, taps, block_rows=512, interpret=None, precision=None,
 # are zero-filled by dedicated grid steps; input index maps clamp in-bounds.
 
 
-def _fir_t_kernel(x_ref, y_ref, xh_ref, yh_ref, *refs, m, rows, kprec,
-                  nrb_sig):
+def _fir_t_kernel(x_ref, y_ref, xh_ref, yh_ref, srow_ref, *refs, m, rows,
+                  kprec, nrb_sig, C, sub):
+    """One grid step = ALL channels of one row block: the per-channel
+    banded matmuls write lane-group slices of the (rows, C*128) output
+    block.  One step therefore moves ~C x (rows, 128) in and one
+    (rows, C*128) out — few large DMAs instead of a (C, nrb) grid of tiny
+    ones (which profiled ~5x slower than HBM should allow)."""
     band_refs, out_ref = refs[:-1], refs[-1]
-    c = pl.program_id(0)
-    r = pl.program_id(1)
+    r = pl.program_id(0)
 
     @pl.when(r >= nrb_sig)
     def _tail():
@@ -245,33 +249,36 @@ def _fir_t_kernel(x_ref, y_ref, xh_ref, yh_ref, *refs, m, rows, kprec,
 
     @pl.when(r < nrb_sig)
     def _body():
-        blk = jnp.where(c == 0, x_ref[...], y_ref[0])        # (rows, 128)
-        if m:
-            h = jnp.where(c == 0, xh_ref[0], yh_ref[0, 0])   # (m, 128)
-            xfull = jnp.concatenate([h, blk], axis=0)
-        else:
-            xfull = blk
-        acc = None
-        for s in range(m + 1):
-            xs = xfull[s:rows + s]
-            if kprec == "bf16x3":
-                t = dot_bf16x3(xs, band_refs[2 * s][...],
-                               band_refs[2 * s + 1][...])
-            elif kprec == "bf16":
-                t = jnp.dot(xs.astype(jnp.bfloat16), band_refs[s][...],
-                            preferred_element_type=jnp.float32)
+        for c in range(C):
+            blk = x_ref[...] if c == 0 else y_ref[c - 1]     # (rows, 128)
+            if m:
+                h = xh_ref[0] if c == 0 else yh_ref[c - 1, 0]
+                xfull = jnp.concatenate([h, blk], axis=0)
             else:
-                t = jnp.dot(xs, band_refs[s][...],
-                            precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)
-            acc = t if acc is None else acc + t
-        out_ref[...] = acc
+                xfull = blk
+            acc = None
+            for s in range(m + 1):
+                xs = xfull[s:rows + s]
+                if kprec == "bf16x3":
+                    t = dot_bf16x3(xs, band_refs[2 * s][...],
+                                   band_refs[2 * s + 1][...])
+                elif kprec == "bf16":
+                    t = jnp.dot(xs.astype(jnp.bfloat16), band_refs[s][...],
+                                preferred_element_type=jnp.float32)
+                else:
+                    t = jnp.dot(xs, band_refs[s][...],
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+                acc = t if acc is None else acc + t
+            if sub:
+                acc = acc - srow_ref[:, c * _LANES:(c + 1) * _LANES]
+            out_ref[:, c * _LANES:(c + 1) * _LANES] = acc
 
 
 @partial(jax.jit, static_argnames=("K", "m", "rows", "nrows_out", "kprec",
                                    "interpret", "C"))
-def _fir_t_pipeline(x, y, bands_flat, *, K, m, rows, nrows_out, kprec,
-                    interpret, C=None):
+def _fir_t_pipeline(x, y, bands_flat, sub_row, *, K, m, rows, nrows_out,
+                    kprec, interpret, C=None):
     nch, nt = y.shape
     if C is None:
         C = nch + 1
@@ -280,6 +287,10 @@ def _fir_t_pipeline(x, y, bands_flat, *, K, m, rows, nrows_out, kprec,
     nrb_out = nrows_out // rows
     xr = x.reshape(nr, _LANES)
     yr = y.reshape(nch, nr, _LANES)
+
+    sub = sub_row is not None
+    if sub_row is None:
+        sub_row = jnp.zeros((1, C * _LANES), jnp.float32)
 
     # per-tile causal halos (tiny gathers; zeros for the first tile)
     if m:
@@ -297,30 +308,28 @@ def _fir_t_pipeline(x, y, bands_flat, *, K, m, rows, nrows_out, kprec,
     cl = nrb_sig - 1                       # clamp for the zero-tail steps
     return pl.pallas_call(
         partial(_fir_t_kernel, m=m, rows=rows, kprec=kprec,
-                nrb_sig=nrb_sig),
-        grid=(C, nrb_out),
+                nrb_sig=nrb_sig, C=C, sub=sub),
+        grid=(nrb_out,),
         in_specs=[
-            pl.BlockSpec((rows, _LANES),
-                         lambda c, r: (jnp.minimum(r, cl), 0)),
-            pl.BlockSpec((1, rows, _LANES),
-                         lambda c, r: (jnp.maximum(c - 1, 0),
-                                       jnp.minimum(r, cl), 0)),
+            pl.BlockSpec((rows, _LANES), lambda r: (jnp.minimum(r, cl), 0)),
+            pl.BlockSpec((max(nch, 1), rows, _LANES),
+                         lambda r: (0, jnp.minimum(r, cl), 0)),
             pl.BlockSpec((1, mh, _LANES),
-                         lambda c, r: (jnp.minimum(r, cl), 0, 0)),
-            pl.BlockSpec((1, 1, mh, _LANES),
-                         lambda c, r: (jnp.maximum(c - 1, 0),
-                                       jnp.minimum(r, cl), 0, 0)),
-            *[pl.BlockSpec(b.shape, lambda c, r: (0, 0))
+                         lambda r: (jnp.minimum(r, cl), 0, 0)),
+            pl.BlockSpec((max(nch, 1), 1, mh, _LANES),
+                         lambda r: (0, jnp.minimum(r, cl), 0, 0)),
+            pl.BlockSpec((1, C * _LANES), lambda r: (0, 0)),
+            *[pl.BlockSpec(b.shape, lambda r: (0, 0))
               for b in bands_flat],
         ],
-        out_specs=pl.BlockSpec((rows, _LANES), lambda c, r: (r, c)),
+        out_specs=pl.BlockSpec((rows, C * _LANES), lambda r: (r, 0)),
         out_shape=jax.ShapeDtypeStruct((nrows_out, C * _LANES), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * C * nrows_out * _LANES * (m + 1) * _LANES,
             bytes_accessed=8 * C * nrows_out * _LANES,
             transcendentals=0),
         interpret=interpret,
-    )(xr, yr, xh, yh, *bands_flat)
+    )(xr, yr, xh, yh, sub_row, *bands_flat)
 
 
 def fir_transpose_blocking(nt, nrows_out, ntaps, block_rows=512):
@@ -343,13 +352,16 @@ def fir_transpose_blocking(nt, nrows_out, ntaps, block_rows=512):
 
 
 def fir_transpose_pallas(x, y, taps, nrows_out, interpret=None,
-                         precision=None, block_rows=512):
+                         precision=None, block_rows=512, sub_row=None):
     """Filter ``[x; y]`` and emit the v3 row-major ``(nrows_out, C*128)``
     signal layout in one kernel, reading ``x``/``y`` in place.
 
     Requires ``nt % 128 == 0`` (callers fall back to
     :func:`fir_pallas` + explicit padding otherwise).  Rows past the
     signal are zeros.  ``taps=(1.0,)`` gives a pure transpose/interleave.
+    ``sub_row`` (``(1, C*128)``): optional per-lane value subtracted from
+    every *signal* row after filtering (tail rows stay exactly zero) — the
+    fused global-mean detrend of the downstream Welch kernels.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -377,6 +389,6 @@ def fir_transpose_pallas(x, y, taps, nrows_out, interpret=None,
             f"nrows_out={nrows_out}; use fir_pallas with padding instead")
     bands = _band_blocks(tuple(taps.tolist()), kprec)
     bands_flat = tuple(b for blk in bands for b in blk)
-    return _fir_t_pipeline(x, y, bands_flat, K=K, m=m, rows=rows,
+    return _fir_t_pipeline(x, y, bands_flat, sub_row, K=K, m=m, rows=rows,
                            nrows_out=nrows_out, kprec=kprec,
                            interpret=bool(interpret), C=C)

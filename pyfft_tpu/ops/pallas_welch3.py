@@ -51,6 +51,12 @@ __all__ = ["welch_fir_pallas3", "pallas_welch3_applicable",
 
 _LANES = 128
 
+# grid-step unroll: chunks per grid step sharing one table residency.  More
+# unroll amortizes per-step pipeline overhead; the cap keeps the double-
+# buffered `cur` window comfortably inside VMEM next to the tables.
+_UNROLL_CAP = 4
+_UNROLL_VMEM = 3 * 1024 * 1024
+
 
 # --------------------------------------------------------------------------- #
 # Geometry
@@ -197,7 +203,7 @@ def _rsplit(x, kprec):
 
 
 def _chunk_spectra(cur_ref, head_ref, mrow_ref, tabs, b, k, *, C, R, Sseg,
-                   navr, blk, unroll, kprec, cplx):
+                   navr, blk, unroll, kprec, cplx, pre=False, kv=0, hr=None):
     """One chunk of the factored transform: gather -> detrend/window/mask ->
     stage A -> twiddle -> stage B -> (optional) complex recombination.
     Returns per-segment spectra ``(X3r, X3i)`` shaped ``(Co, Sseg, R, 128)``
@@ -208,23 +214,47 @@ def _chunk_spectra(cur_ref, head_ref, mrow_ref, tabs, b, k, *, C, R, Sseg,
     else:
         rows = jnp.concatenate([cur_ref[lo:lo + blk], head_ref[:R]],
                                axis=0)                       # (L, N)
-    rh, rl = _rsplit(rows, kprec)
+    return _chunk_math(rows, mrow_ref, tabs, b, k, C=C, R=R, Sseg=Sseg,
+                       navr=navr, unroll=unroll, kprec=kprec, cplx=cplx,
+                       pre=pre, kv=kv, hr=hr)
 
+
+def _chunk_math(rows, mrow_ref, tabs, b, k, *, C, R, Sseg, navr, unroll,
+                kprec, cplx, pre=False, kv=0, hr=None):
+    """The factored-transform math on an in-VMEM ``(L, N)`` row window."""
     # gather Sseg segments of all C channels: (128, N), row = s*R + r
-    if kprec == "highest":
+    if hr is not None and R % 8 == 0 and hr % 8 == 0:
+        # sublane-aligned overlap: the gather is Sseg contiguous (R, N)
+        # row copies — exact, no matmul passes, no operand split
+        st = jnp.concatenate([rows[ss * hr:ss * hr + R]
+                              for ss in range(Sseg)], axis=0)
+    elif kprec == "highest":
         st = jnp.dot(tabs["G"][0][...], rows,
                      precision=jax.lax.Precision.HIGHEST,
                      preferred_element_type=jnp.float32)
     else:
+        rh, rl = _rsplit(rows, kprec)
         st = _d(tabs["G"][0][...], rh)
         if rl is not None:
             st = st + _d(tabs["G"][0][...], rl)
 
-    # global-mean detrend (per-channel broadcast), window, validity mask
-    rowseg = (jax.lax.broadcasted_iota(jnp.int32, (_LANES, 1), 0) // R
-              + (b * unroll + k) * Sseg)
-    mask = (rowseg < navr).astype(jnp.float32)
-    stw = (st - mrow_ref[...]) * tabs["W"][0][...] * mask
+    if pre and k < kv:
+        # feeder already subtracted the global mean; chunk slots below kv
+        # can never contain a segment index >= navr, so no mask either
+        stw = st * tabs["W"][0][...]
+    elif pre:
+        # tail chunk slot: mask out segments past navr (they gather a mix
+        # of live signal rows and zero tail rows -> nonzero garbage)
+        rowseg = (jax.lax.broadcasted_iota(jnp.int32, (_LANES, 1), 0) // R
+                  + (b * unroll + k) * Sseg)
+        mask = (rowseg < navr).astype(jnp.float32)
+        stw = st * tabs["W"][0][...] * mask
+    else:
+        # global-mean detrend (per-channel broadcast), window, validity mask
+        rowseg = (jax.lax.broadcasted_iota(jnp.int32, (_LANES, 1), 0) // R
+                  + (b * unroll + k) * Sseg)
+        mask = (rowseg < navr).astype(jnp.float32)
+        stw = (st - mrow_ref[...]) * tabs["W"][0][...] * mask
 
     # stage A: block-diagonal R-point DFT (all segments, all channels)
     sh, sl = _rsplit(stw, kprec)
@@ -280,7 +310,7 @@ def _unpack_tabs(refs, counts):
 
 
 def _v3_kernel(cur_ref, head_ref, mrow_ref, *refs, counts, C, R, Sseg, navr,
-               blk, unroll, kprec, cplx=False):
+               blk, unroll, kprec, cplx=False, pre=False, kv=0):
     """Grid ``(nb,)``: ``unroll`` chunks of Sseg segments x C channels per
     step, all-matmul.  The unroll amortizes per-grid-step pipeline overhead
     (measured ~5us/step) over several chunks sharing one table residency."""
@@ -291,10 +321,116 @@ def _v3_kernel(cur_ref, head_ref, mrow_ref, *refs, counts, C, R, Sseg, navr,
     def chunk(k):
         X3r, X3i = _chunk_spectra(cur_ref, head_ref, mrow_ref, tabs, b, k,
                                   C=C, R=R, Sseg=Sseg, navr=navr, blk=blk,
-                                  unroll=unroll, kprec=kprec, cplx=cplx)
+                                  unroll=unroll, kprec=kprec, cplx=cplx,
+                                  pre=pre, kv=kv, hr=blk // Sseg)
         xr0 = X3r[0]                                       # reference (c=0)
         xi0 = X3i[0]
         auto = jnp.sum(X3r * X3r + X3i * X3i, axis=1)      # (Co, R, 128)
+        xre = jnp.sum(X3r * xr0[None] + X3i * xi0[None], axis=1)
+        xim = jnp.sum(X3i * xr0[None] - X3r * xi0[None], axis=1)
+        return auto, xre, xim
+
+    auto, xre, xim = chunk(0)
+    for k in range(1, unroll):
+        a, re, im = chunk(k)
+        auto += a
+        xre += re
+        xim += im
+
+    @pl.when(b == 0)
+    def _init():
+        auto_ref[...] = auto
+        xre_ref[...] = xre
+        xim_ref[...] = xim
+
+    @pl.when(b != 0)
+    def _accum():
+        auto_ref[...] += auto
+        xre_ref[...] += xre
+        xim_ref[...] += xim
+
+
+def _assemble_rows(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref, yh_ref,
+                   srow_ref, band_refs, b, *, C, R, blk, unroll, kprec, m,
+                   nbands, nrv, sub):
+    """The feeder kernel's body, inlined: FIR + detrend + interleave the
+    step's ``(unroll*blk + R, C*128)`` row window entirely in VMEM."""
+    from .precision import dot_bf16x3
+
+    rows_out = unroll * blk + R
+    base = b * (unroll * blk)
+    # logical row ids: rows at/after the signal end are forced to exact
+    # zero (jnp.where, so undefined out-of-bounds reads cannot leak NaNs);
+    # over-gathered tail segments then contribute nothing to the sums
+    rowids = jax.lax.broadcasted_iota(jnp.int32, (rows_out, 1), 0) + base
+    rowmask = rowids < nrv
+    cols = []
+    for c in range(C):
+        mainc = xm_ref[...] if c == 0 else ym_ref[c - 1]
+        headc = (xe_ref[...] if c == 0 else ye_ref[c - 1])[:R]
+        if nbands == 0:
+            acc = jnp.concatenate([mainc, headc], axis=0)
+        else:
+            if m:
+                haloc = xh_ref[0] if c == 0 else yh_ref[c - 1, 0]
+                ext = jnp.concatenate([haloc, mainc, headc], axis=0)
+            else:
+                ext = jnp.concatenate([mainc, headc], axis=0)
+            acc = None
+            for s in range(m + 1):
+                xs = ext[s:rows_out + s]
+                if kprec == "bf16x3":
+                    t = dot_bf16x3(xs, band_refs[2 * s][...],
+                                   band_refs[2 * s + 1][...])
+                elif kprec == "bf16":
+                    t = jnp.dot(xs.astype(jnp.bfloat16), band_refs[s][...],
+                                preferred_element_type=jnp.float32)
+                else:
+                    t = jnp.dot(xs, band_refs[s][...],
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+                acc = t if acc is None else acc + t
+        if sub:
+            acc = acc - srow_ref[:, c * _LANES:(c + 1) * _LANES]
+        cols.append(jnp.where(rowmask, acc, 0.0))
+    return jnp.concatenate(cols, axis=1)              # (rows_out, N)
+
+
+def _v3_fused_kernel(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref, yh_ref,
+                     srow_ref, *refs, counts, C, R, Sseg, navr, blk,
+                     unroll, kprec, cplx, kv, m, nbands, nrv, sub):
+    """Single-dispatch chain: FIR + channel interleave + detrend + Welch.
+
+    Reads the ORIGINAL ``x (nr, 128)`` / ``y (nch, nr, 128)`` row views —
+    no intermediate ``(nrows, C*128)`` array ever touches HBM.  Each grid
+    step assembles its FIR-filtered, mean-subtracted, channel-interleaved
+    ``(unroll*blk + R, C*128)`` row window in VMEM (the feeder kernel's
+    body, inlined), then runs the ``unroll`` factored-transform chunks on
+    it.  On hardware where HBM streams ~5x slower than the MXU ceiling
+    (measured on this chip), removing the feeder's extra write+read of the
+    interleaved signal is worth ~40% of the chain's wall time.
+    """
+    band_refs = refs[:nbands]
+    tabs, outs = _unpack_tabs(refs[nbands:], counts)
+    auto_ref, xre_ref, xim_ref = outs[:3]
+    b = pl.program_id(0)
+    rows_all = _assemble_rows(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref,
+                              yh_ref, srow_ref, band_refs, b, C=C, R=R,
+                              blk=blk, unroll=unroll, kprec=kprec, m=m,
+                              nbands=nbands, nrv=nrv, sub=sub)
+
+    def chunk(k):
+        rows = rows_all[k * blk:k * blk + blk + R]
+        X3r, X3i = _chunk_math(rows, srow_ref, tabs, b, k, C=C, R=R,
+                               Sseg=Sseg, navr=navr, unroll=unroll,
+                               kprec=kprec, cplx=cplx, pre=True, kv=kv,
+                               hr=blk // Sseg)
+        auto = jnp.sum(X3r * X3r + X3i * X3i, axis=1)
+        if X3r.shape[0] == 1:
+            # auto-PSD only (no channels): X x conj(X) == |X|^2 exactly
+            return auto, auto, jnp.zeros_like(auto)
+        xr0 = X3r[0]
+        xi0 = X3i[0]
         xre = jnp.sum(X3r * xr0[None] + X3i * xi0[None], axis=1)
         xim = jnp.sum(X3i * xr0[None] - X3r * xi0[None], axis=1)
         return auto, xre, xim
@@ -335,14 +471,14 @@ def _v3_pipeline(x, y, norm, *, navr, nwins, noverlap, taps_key, win_key,
     nchunks = -(-navr // Sseg)
     # amortize per-grid-step pipeline overhead over several chunks, but not
     # past the point where the cur block stops fitting VMEM comfortably
-    unroll = max(1, min(4, nchunks, (3 * 1024 * 1024) // (2 * 4 * blk * N)))
+    unroll = max(1, min(_UNROLL_CAP, nchunks,
+                        _UNROLL_VMEM // (2 * 4 * blk * N)))
     nb = -(-nchunks // unroll)
     need_rows = (nb * unroll + 1) * blk         # head of the last step
     nrows = -(-need_rows // 512) * 512          # FIR kernel block multiple
     Ltot = nrows * _LANES
 
-    from .pallas_fir import (fir_pallas, fir_transpose_pallas,
-                             fir_transpose_blocking)
+    from .pallas_fir import fir_pallas
 
     # global-mean detrend moments of the *filtered* span, computed on the
     # cheap (C, nt) layout before the FIR and corrected exactly for the
@@ -375,50 +511,119 @@ def _v3_pipeline(x, y, norm, *, navr, nwins, noverlap, taps_key, win_key,
     # lane-unaligned nt — or an nt/128 whose divisors are all <= the halo
     # row count (e.g. nt = 128*998 with 200 taps) — falls back to the
     # padded path, whose 512-row blocking always works.
-    if fir_transpose_blocking(nt, nrows, K) is not None:
-        sig2 = fir_transpose_pallas(x, y, taps_np, nrows,
-                                    interpret=interpret, precision=kprec)
+    # first chunk slot that can contain a segment index >= navr (it lives
+    # at the last grid step); only slots >= kv need the validity mask when
+    # the signal is pre-detrended/zero-tailed
+    kv = max(0, navr // Sseg - (nb - 1) * unroll)
+    tables, counts = _v3_tables_host(nwins, hr, C, win_key, kprec)
+    Co = C // 2 if cplx else C
+    out_specs = [pl.BlockSpec((Co, R, _LANES), lambda b: (0, 0, 0))] * 3
+    out_shape = [jax.ShapeDtypeStruct((Co, R, _LANES), jnp.float32)] * 3
+    passes = {"highest": 6, "bf16x3": 3, "bf16": 1}[kprec]
+    mm = (2 + 2 * passes + 3 * passes) * _LANES * _LANES * N
+    flops = 2 * nb * unroll * mm
+    # the head block needs >= 8 sublanes on TPU; blk is a multiple of 8
+    # for every legal geometry, so Rh-row addressing stays block-aligned
+    Rh = max(R, 8)
+    const_specs = [pl.BlockSpec(t.shape, lambda b: tuple(0 for _ in t.shape))
+                   for t in tables]
+
+    if nt % _LANES == 0:
+        # fused single-dispatch path: FIR + interleave + detrend inside
+        # the welch kernel, reading x/y row views in place
+        nr = nt // _LANES
+        m = -(-(K - 1) // _LANES) if taps_key else 0
+        if taps_key:
+            from .pallas_fir import _band_blocks
+            bands = _band_blocks(tuple(taps_np.tolist()), kprec)
+            bands_flat = tuple(bb for bblk in bands for bb in bblk)
+        else:
+            bands_flat = ()
+        xr2 = x.reshape(nr, _LANES)
+        nchy = max(nch, 1)
+        yr2 = (y.reshape(nch, nr, _LANES) if nch
+               else jnp.zeros((1, nr, _LANES), jnp.float32))
+        mh = max(m, 1)
+        if m:
+            idx = (np.arange(nb) * (unroll * blk))[:, None] \
+                + np.arange(-m, 0)[None]
+            gidx = jnp.asarray(np.maximum(idx.reshape(-1), 0))
+            xh = jnp.take(xr2, gidx, axis=0).reshape(nb, m, _LANES)
+            xh = xh.at[0].set(0.0)
+            yh = jnp.take(yr2, gidx, axis=1).reshape(nchy, nb, m, _LANES)
+            yh = yh.at[:, 0].set(0.0)
+        else:
+            xh = jnp.zeros((nb, 1, _LANES), jnp.float32)
+            yh = jnp.zeros((nchy, nb, 1, _LANES), jnp.float32)
+        ub = unroll * blk
+        # clamp block indices so no block starts past the array (a fully
+        # out-of-bounds block index faults Mosaic; trailing partial blocks
+        # are fine, and misread rows are zeroed by the logical row mask)
+        bm = max(-(-nr // ub) - 1, 0)
+        bh = max(-(-nr // Rh) - 1, 0)
+        in_specs = [
+            pl.BlockSpec((ub, _LANES), lambda b: (jnp.minimum(b, bm), 0)),
+            pl.BlockSpec((Rh, _LANES),
+                         lambda b: (jnp.minimum((b + 1) * ub // Rh, bh), 0)),
+            pl.BlockSpec((1, mh, _LANES), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nchy, ub, _LANES),
+                         lambda b: (0, jnp.minimum(b, bm), 0)),
+            pl.BlockSpec((nchy, Rh, _LANES),
+                         lambda b: (0, jnp.minimum((b + 1) * ub // Rh, bh),
+                                    0)),
+            pl.BlockSpec((nchy, 1, mh, _LANES), lambda b: (0, b, 0, 0)),
+            pl.BlockSpec((1, N), lambda b: (0, 0)),
+            *[pl.BlockSpec(bb.shape, lambda b: (0, 0))
+              for bb in bands_flat],
+            *const_specs,
+        ]
+        if taps_key:
+            flops += 2 * (m + 1) * passes * C * (nb * ub) * _LANES * _LANES
+        auto, xre, xim = pl.pallas_call(
+            partial(_v3_fused_kernel, counts=counts, C=C, R=R, Sseg=Sseg,
+                    navr=navr, blk=blk, unroll=unroll, kprec=kprec,
+                    cplx=cplx, kv=kv, m=m, nbands=len(bands_flat), nrv=nr,
+                    sub=detrend_style == 1),
+            grid=(nb,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            cost_estimate=pl.CostEstimate(
+                flops=flops, bytes_accessed=4 * C * nt, transcendentals=0),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(xr2, xr2, xh, yr2, yr2, yh, m_row,
+          *map(jnp.asarray, bands_flat), *map(jnp.asarray, tables))
     else:
+        # lane-unaligned nt: padded feeder + sig2-reading kernel
         sig = jnp.concatenate([x[None], y], axis=0)
         sig = jnp.concatenate(
             [sig, jnp.zeros((C, Ltot - nt), jnp.float32)], axis=1)
         sig2 = fir_pallas(sig, taps_np, interpret=interpret,
                           transposed_out=True, precision=kprec)
-
-    tables, counts = _v3_tables_host(nwins, hr, C, win_key, kprec)
-
-    # the head block needs >= 8 sublanes on TPU; blk is a multiple of 8
-    # for every legal geometry, so Rh-row addressing stays block-aligned
-    Rh = max(R, 8)
-    in_specs = [
-        pl.BlockSpec((unroll * blk, N), lambda b: (b, 0)),
-        pl.BlockSpec((Rh, N), lambda b: ((b + 1) * unroll * blk // Rh, 0)),
-        pl.BlockSpec((1, N), lambda b: (0, 0)),
-        *[pl.BlockSpec(t.shape, lambda b: tuple(0 for _ in t.shape))
-          for t in tables],
-    ]
-    Co = C // 2 if cplx else C
-    out_specs = [pl.BlockSpec((Co, R, _LANES), lambda b: (0, 0, 0))] * 3
-    out_shape = [jax.ShapeDtypeStruct((Co, R, _LANES), jnp.float32)] * 3
-
-    passes = {"highest": 6, "bf16x3": 3, "bf16": 1}[kprec]
-    mm = (2 + 2 * passes + 3 * passes) * _LANES * _LANES * N
-    flops = 2 * nb * unroll * mm
-
-    auto, xre, xim = pl.pallas_call(
-        partial(_v3_kernel, counts=counts, C=C, R=R, Sseg=Sseg, navr=navr,
-                blk=blk, unroll=unroll, kprec=kprec, cplx=cplx),
-        grid=(nb,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        cost_estimate=pl.CostEstimate(flops=flops,
-                                      bytes_accessed=4 * (nb + 1) * blk * N,
-                                      transcendentals=0),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(sig2, sig2, m_row, *map(jnp.asarray, tables))
+        in_specs = [
+            pl.BlockSpec((unroll * blk, N), lambda b: (b, 0)),
+            pl.BlockSpec((Rh, N),
+                         lambda b: ((b + 1) * unroll * blk // Rh, 0)),
+            pl.BlockSpec((1, N), lambda b: (0, 0)),
+            *const_specs,
+        ]
+        auto, xre, xim = pl.pallas_call(
+            partial(_v3_kernel, counts=counts, C=C, R=R, Sseg=Sseg,
+                    navr=navr, blk=blk, unroll=unroll, kprec=kprec,
+                    cplx=cplx, pre=False, kv=kv),
+            grid=(nb,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            cost_estimate=pl.CostEstimate(
+                flops=flops, bytes_accessed=4 * (nb + 1) * blk * N,
+                transcendentals=0),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(sig2, sig2, m_row, *map(jnp.asarray, tables))
 
     # natural order: bin k = q + R p lives at [q, p]
     def natural(o):                              # (Co, R, 128) -> (Co, nwins)
@@ -487,14 +692,20 @@ def v3_dispatched_flops(nwins, noverlap, navr, nch, ntaps=0,
     N = C * _LANES
     passes = {"highest": 6, "bf16x3": 3, "bf16": 1}[kprec]
     nchunks = -(-navr // Sseg)
-    # welch kernel: gather (2 exact passes) + stage A (2 logical) +
-    # stage B (3 logical, Karatsuba)
-    per_chunk = (2 + (2 + 3) * passes) * _LANES * _LANES * N
+    # welch kernel: gather (2 exact passes — zero when the sublane-aligned
+    # slice gather applies) + stage A (2 logical) + stage B (3, Karatsuba)
+    gather = 0 if (R % 8 == 0 and hr % 8 == 0) else 2
+    per_chunk = (gather + (2 + 3) * passes) * _LANES * _LANES * N
     welch = 2.0 * nchunks * per_chunk
-    # feeder: (m+1) band matmuls over every output row of every channel
-    m = -(-max(ntaps - 1, 0) // _LANES)
-    nrows = nchunks * blk + blk
-    fir = 2.0 * (m + 1) * passes * C * nrows * _LANES * _LANES
+    # in-kernel FIR: (m+1) band matmuls over every row of every channel
+    # (taps only — the fused kernel assembles unfiltered signals with pure
+    # tile copies, no identity matmul)
+    if ntaps > 1:
+        m = -(-(ntaps - 1) // _LANES)
+        nrows = nchunks * blk + blk
+        fir = 2.0 * (m + 1) * passes * C * nrows * _LANES * _LANES
+    else:
+        fir = 0.0
     return welch + fir
 
 
@@ -559,7 +770,7 @@ def welch_pallas3_twosided(x, y, win, norm, *, navr, nwins, noverlap,
 # --------------------------------------------------------------------------- #
 
 def _v3_stft_kernel(cur_ref, head_ref, mrow_ref, *refs, counts, C, R, Sseg,
-                    navr, blk, unroll, kprec, cplx=False):
+                    navr, blk, unroll, kprec, cplx=False, pre=False, kv=0):
     """Grid ``(nb,)``: every step writes its ``unroll * Sseg`` segments'
     spectra straight out — the role of ``fftanal.fft_win``'s hot loop
     (reference ``fft_analysis.py:2126-2176``) with the same all-matmul
@@ -570,7 +781,30 @@ def _v3_stft_kernel(cur_ref, head_ref, mrow_ref, *refs, counts, C, R, Sseg,
     for k in range(unroll):
         X3r, X3i = _chunk_spectra(cur_ref, head_ref, mrow_ref, tabs, b, k,
                                   C=C, R=R, Sseg=Sseg, navr=navr, blk=blk,
-                                  unroll=unroll, kprec=kprec, cplx=cplx)
+                                  unroll=unroll, kprec=kprec, cplx=cplx,
+                                  pre=pre, kv=kv, hr=blk // Sseg)
+        xr_ref[:, k * Sseg:(k + 1) * Sseg] = X3r
+        xi_ref[:, k * Sseg:(k + 1) * Sseg] = X3i
+
+
+def _v3_fused_stft_kernel(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref, yh_ref,
+                          srow_ref, *refs, counts, C, R, Sseg, navr, blk,
+                          unroll, kprec, cplx, kv, m, nbands, nrv, sub):
+    """Fused STFT: interleave + detrend in VMEM, per-segment spectra out."""
+    band_refs = refs[:nbands]
+    tabs, outs = _unpack_tabs(refs[nbands:], counts)
+    xr_ref, xi_ref = outs[:2]
+    b = pl.program_id(0)
+    rows_all = _assemble_rows(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref,
+                              yh_ref, srow_ref, band_refs, b, C=C, R=R,
+                              blk=blk, unroll=unroll, kprec=kprec, m=m,
+                              nbands=nbands, nrv=nrv, sub=sub)
+    for k in range(unroll):
+        rows = rows_all[k * blk:k * blk + blk + R]
+        X3r, X3i = _chunk_math(rows, srow_ref, tabs, b, k, C=C, R=R,
+                               Sseg=Sseg, navr=navr, unroll=unroll,
+                               kprec=kprec, cplx=cplx, pre=True, kv=kv,
+                               hr=blk // Sseg)
         xr_ref[:, k * Sseg:(k + 1) * Sseg] = X3r
         xi_ref[:, k * Sseg:(k + 1) * Sseg] = X3i
 
@@ -585,14 +819,15 @@ def _v3_stft_pipeline(x, y, norm, *, navr, nwins, noverlap, win_key,
     N = C * _LANES
     R, hr, Sseg, blk, L = _v3_geometry(nwins, noverlap, nch)
     nchunks = -(-navr // Sseg)
-    unroll = max(1, min(4, nchunks, (3 * 1024 * 1024) // (2 * 4 * blk * N)))
+    unroll = max(1, min(_UNROLL_CAP, nchunks,
+                        _UNROLL_VMEM // (2 * 4 * blk * N)))
     nb = -(-nchunks // unroll)
     need_rows = (nb * unroll + 1) * blk
     nrows = -(-need_rows // 512) * 512
     Co = C // 2 if cplx else C
     nseg_pad = nb * unroll * Sseg
 
-    from .pallas_fir import fir_pallas, fir_transpose_pallas
+    from .pallas_fir import fir_pallas
     if detrend_style == 1:
         S = jnp.concatenate([jnp.sum(x[:nt])[None],
                              jnp.sum(y[:, :nt], axis=-1)])
@@ -600,9 +835,58 @@ def _v3_stft_pipeline(x, y, norm, *, navr, nwins, noverlap, win_key,
         m_row = jnp.repeat(m_ch, _LANES, total_repeat_length=N)[None]
     else:
         m_row = jnp.zeros((1, N), jnp.float32)
+    # invalid segments are sliced off the output, so the pre-detrended
+    # path never needs a validity mask (kv = unroll: every slot maskless)
+    kv = unroll
+
+    tables, counts = _v3_tables_host(nwins, hr, C, win_key, kprec)
+    Rh = max(R, 8)
+    const_specs = [pl.BlockSpec(t.shape, lambda b: tuple(0 for _ in t.shape))
+                   for t in tables]
+    seg_blk = unroll * Sseg
+    out_specs = [pl.BlockSpec((Co, seg_blk, R, _LANES),
+                              lambda b: (0, b, 0, 0))] * 2
+    out_shape = [jax.ShapeDtypeStruct((Co, nseg_pad, R, _LANES),
+                                      jnp.float32)] * 2
+
     if nt % _LANES == 0:
-        sig2 = fir_transpose_pallas(x, y, (1.0,), nrows,
-                                    interpret=interpret, precision=kprec)
+        nr = nt // _LANES
+        nchy = max(nch, 1)
+        xr2 = x.reshape(nr, _LANES)
+        yr2 = (y.reshape(nch, nr, _LANES) if nch
+               else jnp.zeros((1, nr, _LANES), jnp.float32))
+        xh = jnp.zeros((nb, 1, _LANES), jnp.float32)
+        yh = jnp.zeros((nchy, nb, 1, _LANES), jnp.float32)
+        ub = unroll * blk
+        bm = max(-(-nr // ub) - 1, 0)
+        bh = max(-(-nr // Rh) - 1, 0)
+        in_specs = [
+            pl.BlockSpec((ub, _LANES), lambda b: (jnp.minimum(b, bm), 0)),
+            pl.BlockSpec((Rh, _LANES),
+                         lambda b: (jnp.minimum((b + 1) * ub // Rh, bh), 0)),
+            pl.BlockSpec((1, 1, _LANES), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nchy, ub, _LANES),
+                         lambda b: (0, jnp.minimum(b, bm), 0)),
+            pl.BlockSpec((nchy, Rh, _LANES),
+                         lambda b: (0, jnp.minimum((b + 1) * ub // Rh, bh),
+                                    0)),
+            pl.BlockSpec((nchy, 1, 1, _LANES), lambda b: (0, b, 0, 0)),
+            pl.BlockSpec((1, N), lambda b: (0, 0)),
+            *const_specs,
+        ]
+        Xr, Xi = pl.pallas_call(
+            partial(_v3_fused_stft_kernel, counts=counts, C=C, R=R,
+                    Sseg=Sseg, navr=navr, blk=blk, unroll=unroll,
+                    kprec=kprec, cplx=cplx, kv=kv, m=0, nbands=0, nrv=nr,
+                    sub=detrend_style == 1),
+            grid=(nb,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(xr2, xr2, xh, yr2, yr2, yh, m_row, *map(jnp.asarray, tables))
     else:
         Ltot = nrows * _LANES
         sig = jnp.concatenate([x[None], y], axis=0)
@@ -610,33 +894,25 @@ def _v3_stft_pipeline(x, y, norm, *, navr, nwins, noverlap, win_key,
             [sig, jnp.zeros((C, Ltot - nt), jnp.float32)], axis=1)
         sig2 = fir_pallas(sig, (1.0,), interpret=interpret,
                           transposed_out=True, precision=kprec)
-
-    tables, counts = _v3_tables_host(nwins, hr, C, win_key, kprec)
-    Rh = max(R, 8)
-    in_specs = [
-        pl.BlockSpec((unroll * blk, N), lambda b: (b, 0)),
-        pl.BlockSpec((Rh, N), lambda b: ((b + 1) * unroll * blk // Rh, 0)),
-        pl.BlockSpec((1, N), lambda b: (0, 0)),
-        *[pl.BlockSpec(t.shape, lambda b: tuple(0 for _ in t.shape))
-          for t in tables],
-    ]
-    seg_blk = unroll * Sseg
-    out_specs = [pl.BlockSpec((Co, seg_blk, R, _LANES),
-                              lambda b: (0, b, 0, 0))] * 2
-    out_shape = [jax.ShapeDtypeStruct((Co, nseg_pad, R, _LANES),
-                                      jnp.float32)] * 2
-
-    Xr, Xi = pl.pallas_call(
-        partial(_v3_stft_kernel, counts=counts, C=C, R=R, Sseg=Sseg,
-                navr=navr, blk=blk, unroll=unroll, kprec=kprec, cplx=cplx),
-        grid=(nb,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(sig2, sig2, m_row, *map(jnp.asarray, tables))
+        in_specs = [
+            pl.BlockSpec((unroll * blk, N), lambda b: (b, 0)),
+            pl.BlockSpec((Rh, N),
+                         lambda b: ((b + 1) * unroll * blk // Rh, 0)),
+            pl.BlockSpec((1, N), lambda b: (0, 0)),
+            *const_specs,
+        ]
+        Xr, Xi = pl.pallas_call(
+            partial(_v3_stft_kernel, counts=counts, C=C, R=R, Sseg=Sseg,
+                    navr=navr, blk=blk, unroll=unroll, kprec=kprec,
+                    cplx=cplx, pre=False, kv=kv),
+            grid=(nb,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(sig2, sig2, m_row, *map(jnp.asarray, tables))
 
     # natural order: (Co, nseg, R, 128)[c, s, q, p] -> bin k = q + R p
     Xr = Xr[:, :navr].transpose(0, 1, 3, 2).reshape(Co, navr, nwins) * norm

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["stage", "trace", "fft_flops", "welch_flops", "fir_flops",
-           "roofline", "measure", "device_peaks"]
+           "roofline", "measure", "device_peaks",
+           "measure_pipeline_overlap"]
 
 
 _LOG = []
@@ -153,6 +154,105 @@ def measure(fn, *args, iters=10, warmup=2):
     for _ in range(iters):
         run_once()
     return (time.perf_counter() - t0) / iters
+
+
+def measure_pipeline_overlap(nrows=65536, N=1152, rows_blk=512, passes=12,
+                             iters=8, interpret=None):
+    """Measure the Pallas grid pipeline's DMA/compute overlap (the PP row
+    of SURVEY §2.3: intra-device pipelining, double-buffered block streaming
+    overlapping the next block's HBM DMA with the current block's matmuls —
+    the role the reference's staged detrend→window→FFT→average chain plays
+    serially, fft_pwelch body fft_analysis.py:250-505).
+
+    Times three kernels with identical grid/blocking over an
+    ``(nrows, N)`` f32 array:
+
+    - ``mem``   — streams every block from HBM, accumulates a row-sum
+      (pure DMA; gives achieved HBM read bandwidth);
+    - ``mxu``   — the same matmul chain the fused kernels run per block,
+      but over a single VMEM-resident block (pure compute);
+    - ``fused`` — streams AND computes (the production shape).
+
+    With a double-buffered pipeline ``t_fused ≈ max(t_mem, t_mxu)``; with
+    no overlap ``t_fused ≈ t_mem + t_mxu``.  Returns the three times, the
+    implied bandwidth/TFLOPs, and ``overlap_fraction`` =
+    ``(t_mem + t_mxu - t_fused) / min(t_mem, t_mxu)`` (1.0 = full overlap).
+    """
+    from functools import partial
+    from jax.experimental import pallas as pl
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    assert nrows % rows_blk == 0 and rows_blk % 128 == 0
+    nb = nrows // rows_blk
+    groups = rows_blk // 128
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((nrows, N)), jnp.float32)
+    T = jnp.asarray(
+        np.random.default_rng(1).standard_normal((128, 128)) / 16.0,
+        jnp.bfloat16)
+
+    def mem_kernel(x_ref, t_ref, o_ref):
+        b = pl.program_id(0)
+        acc = jnp.sum(x_ref[...], axis=0, keepdims=True)
+
+        @pl.when(b == 0)
+        def _():
+            o_ref[...] = acc
+
+        @pl.when(b != 0)
+        def _():
+            o_ref[...] += acc
+
+    def work(blk, T):
+        acc = jnp.zeros((128, N), jnp.float32)
+        for g in range(groups):
+            y = blk[g * 128:(g + 1) * 128].astype(jnp.bfloat16)
+            for _ in range(passes):
+                y = jnp.dot(T, y, preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16)
+            acc = acc + y.astype(jnp.float32)
+        return jnp.sum(acc, axis=0, keepdims=True)
+
+    def fused_kernel(x_ref, t_ref, o_ref):
+        b = pl.program_id(0)
+        acc = work(x_ref[...], t_ref[...])
+
+        @pl.when(b == 0)
+        def _():
+            o_ref[...] = acc
+
+        @pl.when(b != 0)
+        def _():
+            o_ref[...] += acc
+
+    def call(kernel, index_map):
+        return pl.pallas_call(
+            kernel, grid=(nb,),
+            in_specs=[pl.BlockSpec((rows_blk, N), index_map),
+                      pl.BlockSpec((128, 128), lambda b: (0, 0))],
+            out_specs=pl.BlockSpec((1, N), lambda b: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
+            interpret=interpret)
+
+    stream = lambda b: (b, 0)
+    resident = lambda b: (0, 0)          # same block each step: no DMA wall
+    t_mem = measure(jax.jit(lambda a: call(mem_kernel, stream)(a, T)), x,
+                    iters=iters)
+    t_mxu = measure(jax.jit(lambda a: call(fused_kernel, resident)(a, T)),
+                    x, iters=iters)
+    t_fused = measure(jax.jit(lambda a: call(fused_kernel, stream)(a, T)),
+                      x, iters=iters)
+    bytes_read = 4 * nrows * N
+    flops = 2.0 * nb * groups * passes * 128 * 128 * N
+    overlap = (t_mem + t_mxu - t_fused) / max(min(t_mem, t_mxu), 1e-12)
+    return {
+        "t_mem_s": t_mem, "t_mxu_s": t_mxu, "t_fused_s": t_fused,
+        "read_gbs": bytes_read / t_mem / 1e9,
+        "mxu_tflops": flops / t_mxu / 1e12,
+        "fused_vs_serial": t_fused / (t_mem + t_mxu),
+        "overlap_fraction": float(np.clip(overlap, 0.0, 1.0)),
+    }
 
 
 def report(entries, path=None):

@@ -75,3 +75,14 @@ def test_stage_and_measure():
     f = jax.jit(lambda x: (x * 2).sum())
     dt = prof.measure(f, jnp.ones(1024), iters=3, warmup=1)
     assert dt > 0
+
+
+def test_measure_pipeline_overlap_harness():
+    """The PP (pipeline) measurement runs and reports sane fields; the
+    physical overlap numbers only mean something on real hardware (the
+    committed record in BASELINE.md), here we validate the harness."""
+    r = prof.measure_pipeline_overlap(nrows=1024, N=256, rows_blk=256,
+                                      passes=1, iters=1)
+    assert set(r) == {"t_mem_s", "t_mxu_s", "t_fused_s", "read_gbs",
+                      "mxu_tflops", "fused_vs_serial", "overlap_fraction"}
+    assert r["t_fused_s"] > 0 and 0.0 <= r["overlap_fraction"] <= 1.0

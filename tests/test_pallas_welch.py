@@ -128,6 +128,28 @@ def test_factored_kernel_vs_oracle(nch, nt, nwins, hop, ntaps, detrend):
                                PxyN[:, :nf], rtol=2e-5, atol=3e-5 * scl)
 
 
+def test_factored_kernel_auto_only():
+    """nch=0 (empty y): PSD of the reference signal alone, C=1 — the
+    single-channel BASELINE config 1 path with no duplicated channel."""
+    rng = np.random.default_rng(3)
+    nt, nwins, nov = 1 << 15, 2048, 1024
+    hop = nwins - nov
+    navr = (nt - nov) // hop
+    x = rng.standard_normal(nt).astype(np.float32)
+    win = np.hanning(nwins + 1)[:-1]
+    Pxx, Pyy, Pr, Pi = welch_fir_pallas_fused(
+        x, np.zeros((0, nt), np.float32), win, nwins // 2 + 1, 1.0 / navr,
+        navr=navr, nwins=nwins, noverlap=nov, detrend_style=1,
+        precision="highest", interpret=True)
+    assert np.asarray(Pyy).shape[0] == 0
+    PxxN, _, _ = _welch_oracle(np.float64(x), np.zeros((0, nt)), win,
+                               navr, nwins, hop, None, 1)
+    PxxN /= navr
+    nf = np.asarray(Pxx).shape[0]
+    np.testing.assert_allclose(np.asarray(Pxx), PxxN[:nf], rtol=2e-5,
+                               atol=3e-5 * PxxN.max())
+
+
 def test_factored_kernel_applicability_gates():
     taps = np.ones(129)
     assert pallas_welch2_applicable(2048, 1024, 100, 8, taps)
