@@ -86,13 +86,8 @@ def _band_blocks(taps_key, kprec):
     return tuple(blocks)
 
 
-def _fir_kernel(x_ref, halo_ref, *refs, m, rows, kprec, transposed):
-    """One (1, R, 128) output tile: shifted banded matmuls over m+R rows."""
-    band_refs, out_ref = refs[:-1], refs[-1]
-    if m == 0:           # taps fit one block row: no halo stream
-        x = x_ref[0]
-    else:
-        x = jnp.concatenate([halo_ref[0, 0], x_ref[0]], axis=0)  # (m+R, 128)
+def _banded_matmul(x, band_refs, m, rows, kprec):
+    """``sum_s x[s:rows+s] @ B_s`` over the pre-split band blocks."""
     acc = None
     for s in range(m + 1):
         xs = x[s:rows + s]
@@ -106,37 +101,69 @@ def _fir_kernel(x_ref, halo_ref, *refs, m, rows, kprec, transposed):
                         precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)
         acc = t if acc is None else acc + t
-    out_ref[...] = acc if transposed else acc[None]
+    return acc
+
+
+def _fir_kernel(x_ref, halo_ref, *refs, m, rows, kprec, transposed, G=1):
+    """One grid step: ``G`` channels of one row block (channel-grouped
+    steps move ~G x (rows, 128) per DMA — per-channel tiny steps measured
+    well below the achievable HBM rate)."""
+    band_refs, out_ref = refs[:-1], refs[-1]
+    for g in range(G):
+        if m == 0:       # taps fit one block row: no halo stream
+            x = x_ref[g]
+        else:
+            x = jnp.concatenate([halo_ref[g, 0], x_ref[g]],
+                                axis=0)                      # (m+R, 128)
+        acc = _banded_matmul(x, band_refs, m, rows, kprec)
+        if transposed:
+            out_ref[...] = acc
+        else:
+            out_ref[g] = acc
 
 
 def _fir_call(xr, halo, bands_flat, *, m, rows, kprec, interpret,
               transposed=False):
     nch, nrows, _ = xr.shape
     nrb = nrows // rows
-    grid = (nch, nrb)
-    band_specs = [pl.BlockSpec(b.shape, lambda c, r: (0, 0))
-                  for b in bands_flat]
     if transposed:
         # write y[row, c*128:(c+1)*128]: the channel-major -> row-major
-        # relayout the downstream v3 welch kernel wants happens through
-        # the output DMA for free.  Emitting the rank-2 (nrows, C*128)
-        # layout directly (lane-blocked BlockSpec) lets the consumer use
-        # the array with no XLA slice/copy in between.
-        out_specs = pl.BlockSpec((rows, _LANES), lambda c, r: (r, c))
-        out_shape = jax.ShapeDtypeStruct((nrows, nch * _LANES), jnp.float32)
-    else:
-        out_specs = pl.BlockSpec((1, rows, _LANES), lambda c, r: (c, r, 0))
-        out_shape = jax.ShapeDtypeStruct((nch, nrows, _LANES), jnp.float32)
-    return pl.pallas_call(
-        partial(_fir_kernel, m=m, rows=rows, kprec=kprec,
-                transposed=transposed),
-        grid=grid,
-        in_specs=[
+        # relayout the downstream consumer wants happens through the
+        # output DMA for free (lane-blocked output BlockSpec).
+        grid = (nch, nrb)
+        band_specs = [pl.BlockSpec(b.shape, lambda c, r: (0, 0))
+                      for b in bands_flat]
+        in_specs = [
             pl.BlockSpec((1, rows, _LANES), lambda c, r: (c, r, 0)),
             pl.BlockSpec((1, 1, max(m, 1), _LANES),
                          lambda c, r: (c, r, 0, 0)),
             *band_specs,
-        ],
+        ]
+        out_specs = pl.BlockSpec((rows, _LANES), lambda c, r: (r, c))
+        out_shape = jax.ShapeDtypeStruct((nrows, nch * _LANES), jnp.float32)
+        G = 1
+    else:
+        # channel-grouped: grid over (channel groups, row blocks); the
+        # trailing group may be partial (out-of-bounds lanes are masked
+        # on write, garbage reads never leave the kernel)
+        G = min(nch, 8)
+        ncg = -(-nch // G)
+        grid = (ncg, nrb)
+        band_specs = [pl.BlockSpec(b.shape, lambda c, r: (0, 0))
+                      for b in bands_flat]
+        in_specs = [
+            pl.BlockSpec((G, rows, _LANES), lambda c, r: (c, r, 0)),
+            pl.BlockSpec((G, 1, max(m, 1), _LANES),
+                         lambda c, r: (c, r, 0, 0)),
+            *band_specs,
+        ]
+        out_specs = pl.BlockSpec((G, rows, _LANES), lambda c, r: (c, r, 0))
+        out_shape = jax.ShapeDtypeStruct((nch, nrows, _LANES), jnp.float32)
+    return pl.pallas_call(
+        partial(_fir_kernel, m=m, rows=rows, kprec=kprec,
+                transposed=transposed, G=G),
+        grid=grid,
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(

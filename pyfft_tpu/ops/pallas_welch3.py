@@ -292,11 +292,13 @@ def _chunk_math(rows, mrow_ref, tabs, b, k, *, C, R, Sseg, navr, unroll,
     X3i = Xi.reshape(C, Sseg, R, _LANES)
     if cplx:
         # channels arrive as interleaved (re, im) pairs of complex
-        # signals; F(re + j im) = F(re) + j F(im), recombined here
-        # with stride-2 slices of the *untiled* channel axis
-        Zr = X3r[0::2] - X3i[1::2]                         # (C/2, S, R, 128)
-        Zi = X3i[0::2] + X3r[1::2]
-        X3r, X3i = Zr, Zi
+        # signals; F(re + j im) = F(re) + j F(im), recombined here by
+        # splitting the *untiled* channel axis (a reshape + static index —
+        # a stride-2 slice would lower to a >2D gather Mosaic rejects)
+        X5r = X3r.reshape(C // 2, 2, Sseg, R, _LANES)
+        X5i = X3i.reshape(C // 2, 2, Sseg, R, _LANES)
+        X3r = X5r[:, 0] - X5i[:, 1]                        # (C/2, S, R, 128)
+        X3i = X5i[:, 0] + X5r[:, 1]
     return X3r, X3i
 
 
@@ -737,8 +739,12 @@ def welch_pallas3_twosided(x, y, win, norm, *, navr, nwins, noverlap,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     kprec = resolve_kernel_precision(precision)
-    x = jnp.asarray(x)
-    y = jnp.asarray(y)
+    # split complex HOST arrays with numpy — the axon TPU backend has no
+    # complex dtype, so a complex jnp.asarray would fail before the kernel
+    if not isinstance(x, jax.Array):
+        x = np.atleast_1d(np.asarray(x))
+    if not isinstance(y, jax.Array):
+        y = np.atleast_2d(np.asarray(y))
     if y.ndim == 1:
         y = y[None]
     nchz = y.shape[0]
@@ -748,12 +754,21 @@ def welch_pallas3_twosided(x, y, win, norm, *, navr, nwins, noverlap,
             f"noverlap={noverlap} nchz={nchz}")
     if detrend_style not in (0, 1):
         raise ValueError("v3 welch kernel supports detrend mean/none")
+
+    def _parts(a):
+        if isinstance(a, jax.Array):
+            return (jnp.real(a).astype(jnp.float32),
+                    jnp.imag(a).astype(jnp.float32))
+        return (jnp.asarray(np.ascontiguousarray(np.real(a)), jnp.float32),
+                jnp.asarray(np.ascontiguousarray(np.imag(a)), jnp.float32))
+
     # interleave (re, im) channel pairs: [x_re | x_im, y0_re, y0_im, ...]
-    xr = jnp.real(x).astype(jnp.float32)
-    rest = [jnp.imag(x).astype(jnp.float32)]
+    xr, xi = _parts(x)
+    rest = [xi]
     for c in range(nchz):
-        rest.append(jnp.real(y[c]).astype(jnp.float32))
-        rest.append(jnp.imag(y[c]).astype(jnp.float32))
+        yr_c, yi_c = _parts(y[c])
+        rest.append(yr_c)
+        rest.append(yi_c)
     y_all = jnp.stack(rest)
     taps_key = (tuple(np.asarray(taps, np.float64).tolist())
                 if taps is not None else None)
@@ -934,17 +949,35 @@ def stft_pallas3(x, y=None, win=None, norm=1.0, *, navr, nwins, noverlap,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     kprec = resolve_kernel_precision(precision)
-    x = jnp.asarray(x)
-    ys = [] if y is None else [jnp.asarray(r) for r in jnp.atleast_2d(y)]
-    cplx = any(jnp.iscomplexobj(a) for a in [x] + ys)
+    # keep complex HOST arrays in numpy until split — the axon TPU backend
+    # has no complex dtype, so a complex jnp.asarray would fail outright
+    if not isinstance(x, jax.Array):
+        x = np.atleast_1d(np.asarray(x))
+    if y is None:
+        ys = []
+    elif isinstance(y, jax.Array):
+        ys = list(jnp.atleast_2d(y))
+    else:
+        ys = list(np.atleast_2d(np.asarray(y)))
+    cplx = any(np.iscomplexobj(a) for a in [x] + ys)
+
+    def _f32(a):
+        if isinstance(a, jax.Array):
+            return a.astype(jnp.float32)
+        return jnp.asarray(np.ascontiguousarray(a), jnp.float32)
+
     if cplx:
         chans = []
         for a in [x] + ys:
-            chans.append(jnp.real(a).astype(jnp.float32))
-            chans.append(jnp.imag(a).astype(jnp.float32))
+            if isinstance(a, jax.Array):
+                chans.append(jnp.real(a).astype(jnp.float32))
+                chans.append(jnp.imag(a).astype(jnp.float32))
+            else:
+                chans.append(_f32(np.real(a)))
+                chans.append(_f32(np.imag(a)))
         nch_k = len(chans) - 1
     else:
-        chans = [a.astype(jnp.float32) for a in [x] + ys]
+        chans = [_f32(a) for a in [x] + ys]
         nch_k = len(chans) - 1
     if _v3_geometry(nwins, noverlap, max(nch_k, 1)) is None:
         raise ValueError(

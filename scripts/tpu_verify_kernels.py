@@ -1,10 +1,14 @@
 """Consolidated real-TPU kernel verification + timing (run by the session
 driver when the tunnel is up; patient by design — first waits for device
 availability, then compiles each kernel once)."""
+import os
 import sys
 import time
 
 import numpy as np
+
+# runnable as `python scripts/tpu_verify_kernels.py` from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def wait_for_tpu(max_wait_s=7200, poll_s=60):
@@ -19,7 +23,7 @@ def wait_for_tpu(max_wait_s=7200, poll_s=60):
         try:
             r = subprocess.run([sys.executable, "-c", probe], timeout=360,
                                capture_output=True, text=True)
-            if r.returncode == 0 and "4096" in r.stdout:
+            if r.returncode == 0 and "262144" in r.stdout:
                 print("TPU ready after %.0fs" % (time.time() - t0),
                       flush=True)
                 return True

@@ -208,6 +208,34 @@ def test_pallas_twosided_complex_matches_core():
     assert abs(ph + 0.3) < 2e-2
 
 
+def test_pallas_twosided_with_taps_vs_oracle():
+    """Complex two-sided kernel with a fused (real) FIR: both the re and
+    the im channel ride the in-kernel banded matmul."""
+    from pyfft_tpu.ops.pallas_welch3 import welch_pallas3_twosided
+    from pyfft_tpu.filters import firwin
+    rng = np.random.default_rng(11)
+    nt, nwins, nov = 1 << 14, 512, 256
+    hop = nwins - nov
+    navr = (nt - nov) // hop
+    z = (rng.standard_normal(nt)
+         + 1j * rng.standard_normal(nt)).astype(np.complex64)
+    taps = np.asarray(firwin(97, 0.3))
+    win = np.hanning(nwins + 1)[:-1]
+    Pz, _, _, _ = welch_pallas3_twosided(
+        z, np.zeros((0, nt), np.complex64), win, 1.0 / navr, navr=navr,
+        nwins=nwins, noverlap=nov, taps=taps, detrend_style=1,
+        precision="highest", interpret=True)
+    zf = np.convolve(z.astype(np.complex128), taps, "full")[:nt]
+    zf -= zf.mean()
+    P = np.zeros(nwins)
+    for g in range(navr):
+        Z = np.fft.fft(win * zf[g * hop:g * hop + nwins])
+        P += np.abs(Z) ** 2
+    P /= navr
+    np.testing.assert_allclose(np.asarray(Pz), P, rtol=2e-5,
+                               atol=3e-5 * P.max())
+
+
 def test_pallas_twosided_rejects_bad_geometry():
     from pyfft_tpu.ops.pallas_welch3 import welch_pallas3_twosided
     z = np.zeros(4096, np.complex64)
