@@ -146,3 +146,26 @@ def test_getNpeaks_fmin_fmax_and_minsep(ref_fft):
     for (a1, f1, p1), (a2, f2, p2) in zip(ours, ref):
         np.testing.assert_allclose(f1, f2, atol=1e-9)
         np.testing.assert_allclose(a1, a2, rtol=1e-7)
+
+
+def test_getNpeaks_plateau_and_span_parity(ref_fft):
+    """Plateau peaks (two equal-power adjacent bins from a tone exactly
+    between bin centers) and even/odd integration spans must match the
+    reference's refinement bin-for-bin (fft_analysis.py:940-1027)."""
+    fs, N = 1e3, 2 ** 12
+    t = np.arange(N) / fs
+    # tone exactly between two Welch bins -> flat-top (plateau) peak
+    plan_df = fs / 512.0
+    f_half = 100.0 + plan_df / 2.0
+    x = (np.sin(2 * np.pi * f_half * t)
+         + 0.5 * np.sin(2 * np.pi * 333.0 * t))
+    for minsep in (2, 3):                       # even + odd blank spans
+        kw = dict(tbounds=[t[1], t[-2]], Navr=8, plotit=False,
+                  verbose=False, minsep=minsep)
+        ours = getNpeaks(2, t, x, x, **kw)
+        ref = ref_fft.getNpeaks(2, t, x, x, **kw)
+        assert len(ours) == len(ref) == 2
+        for (a1, f1, p1), (a2, f2, p2) in zip(ours, ref):
+            np.testing.assert_allclose(f1, f2, atol=1e-9)
+            np.testing.assert_allclose(a1, a2, rtol=1e-7)
+            np.testing.assert_allclose(p1, p2, atol=1e-7)

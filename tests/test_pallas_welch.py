@@ -150,6 +150,34 @@ def test_factored_kernel_auto_only():
                                atol=3e-5 * PxxN.max())
 
 
+def test_factored_kernel_wide_channel_grouping():
+    """nch > 15 runs the v3 kernel in channel groups; results must be
+    identical to two independent narrow calls."""
+    rng = np.random.default_rng(9)
+    nt, nwins, nov = 1 << 14, 1024, 512
+    hop = nwins - nov
+    navr = (nt - nov) // hop
+    nch = 20
+    x = rng.standard_normal(nt).astype(np.float32)
+    y = rng.standard_normal((nch, nt)).astype(np.float32)
+    win = np.hanning(nwins + 1)[:-1]
+    kw = dict(navr=navr, nwins=nwins, noverlap=nov, detrend_style=1,
+              precision="highest", interpret=True)
+    Pxx, Pyy, Pr, Pi = welch_fir_pallas_fused(
+        x, y, win, nwins // 2 + 1, 1.0, **kw)
+    assert Pyy.shape[0] == nch
+    _, Pyy0, Pr0, _ = welch_fir_pallas_fused(
+        x, y[:15], win, nwins // 2 + 1, 1.0, **kw)
+    _, Pyy1, _, _ = welch_fir_pallas_fused(
+        x, y[15:], win, nwins // 2 + 1, 1.0, **kw)
+    np.testing.assert_allclose(np.asarray(Pyy[:15]), np.asarray(Pyy0),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(Pyy[15:]), np.asarray(Pyy1),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(Pr[:15]), np.asarray(Pr0),
+                               rtol=1e-6)
+
+
 def test_factored_kernel_applicability_gates():
     taps = np.ones(129)
     assert pallas_welch2_applicable(2048, 1024, 100, 8, taps)
