@@ -304,8 +304,33 @@ def update_baseline_md(rows, headline, path="BASELINE.md"):
         f.write(txt)
 
 
+def wait_for_device(max_wait_s=1800, poll_s=45):
+    """Block until the accelerator answers a trivial probe (the remote
+    tunnel wedges transiently; a wedged first call would otherwise hang
+    inside the process forever).  Probes in subprocesses so they are
+    killable; returns False if the device never comes up."""
+    import subprocess
+    import sys as _sys
+    probe = ("import jax, jax.numpy as jnp;"
+             "print(float((jnp.ones((64,64))@jnp.ones((64,64))).sum()))")
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        try:
+            r = subprocess.run([_sys.executable, "-c", probe], timeout=240,
+                               capture_output=True, text=True)
+            if r.returncode == 0 and "262144" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print("bench: device not ready (%.0fs)" % (time.time() - t0),
+              file=__import__("sys").stderr, flush=True)
+        time.sleep(poll_s)
+    return False
+
+
 def main():
     here = os.path.dirname(os.path.abspath(__file__))
+    wait_for_device()
     rows, headline = run_configs()
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
         json.dump(rows, f, indent=1)
