@@ -68,7 +68,8 @@ def _welch_oracle(x, y, win, navr, nwins, hop, taps=None, detrend=1):
     nt = len(x)
     if taps is not None:
         x = np.convolve(x, taps, "full")[:nt]
-        y = np.stack([np.convolve(c, taps, "full")[:nt] for c in y])
+        if len(y):
+            y = np.stack([np.convolve(c, taps, "full")[:nt] for c in y])
     nch = y.shape[0]
     if detrend:
         # global-mean detrend of the filtered span, as the reference does
@@ -299,3 +300,45 @@ def test_v3_covers_large_windows_v1_rejects():
     P /= navr
     np.testing.assert_allclose(np.asarray(Pxx), P[:nwins // 2 + 1],
                                rtol=2e-5, atol=2e-5 * P.max())
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fused_kernel_random_geometry_fuzz(seed):
+    """Property test over random legal geometries (R | 128, hop % 128 == 0,
+    random channel counts, lane-aligned and unaligned nt, optional taps,
+    both detrend styles) — guards the fused kernel's block-index clamping,
+    logical row masking, and tail-slot segment masking."""
+    from pyfft_tpu.ops.pallas_welch3 import pallas_welch3_applicable
+    from pyfft_tpu.filters import firwin
+    rng = np.random.default_rng(100 + seed)
+    R = int(rng.choice([2, 4, 8, 16, 32]))
+    nwins = 128 * R
+    hop = 128 * int(rng.integers(max(R // 2, 1), R + 1))
+    nov = nwins - hop
+    nch = int(rng.integers(0, 4))
+    detrend = int(rng.choice([0, 1]))
+    if not pallas_welch3_applicable(nwins, nov, 8, max(nch, 1), detrend):
+        pytest.skip("geometry outside kernel domain")
+    navr_want = int(rng.integers(3, 40))
+    nt = nov + navr_want * hop + int(rng.integers(0, 300))
+    navr = (nt - nov) // hop
+    ntaps = int(rng.choice([0, 33, 129]))
+    taps = np.asarray(firwin(ntaps, 0.3)) if ntaps else None
+    x = rng.standard_normal(nt).astype(np.float32)
+    y = rng.standard_normal((nch, nt)).astype(np.float32)
+    win = np.hanning(nwins + 1)[:-1]
+    Pxx, Pyy, Pr, Pi = welch_fir_pallas_fused(
+        x, y, win, nwins // 2 + 1, 1.0, navr=navr, nwins=nwins,
+        noverlap=nov, taps=taps, detrend_style=detrend,
+        precision="highest", interpret=True)
+    PxxN, PyyN, PxyN = _welch_oracle(np.float64(x), np.float64(y), win,
+                                     navr, nwins, hop, taps, detrend)
+    nf = np.asarray(Pxx).shape[0]
+    scl = np.max(np.abs(PxxN))
+    np.testing.assert_allclose(np.asarray(Pxx), PxxN[:nf], rtol=2e-5,
+                               atol=3e-5 * scl)
+    if nch:
+        np.testing.assert_allclose(np.asarray(Pyy), PyyN[:, :nf],
+                                   rtol=2e-5, atol=3e-5 * scl)
+        np.testing.assert_allclose(np.asarray(Pr) + 1j * np.asarray(Pi),
+                                   PxyN[:, :nf], rtol=2e-5, atol=3e-5 * scl)
