@@ -157,3 +157,141 @@ void shotloader_close(void* handle) {
 }
 
 }  // extern "C"
+
+// --------------------------------------------------------------------------
+// Async prefetch pipeline: a producer thread deinterleaves/decimates blocks
+// ahead of the consumer into a ring of buffers, so page-fault + convert
+// latency overlaps the consumer's (device) work — the IO half of the
+// double-buffered runtime, mirroring what the Pallas grid pipeline does on
+// the device side.  The consumer copies the ready slot out (memcpy-speed;
+// the expensive deinterleave/convert already happened on the worker).
+// --------------------------------------------------------------------------
+
+#include <algorithm>
+#include <condition_variable>
+#include <mutex>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Prefetcher {
+    Shot* shot = nullptr;
+    long block = 0;                  // input frames per block (decim-aligned)
+    long decim = 1;
+    long pos = 0;                    // next input frame to produce
+    long end = 0;                    // one past the last input frame
+    int nbuf = 0;
+    std::vector<std::vector<float>> bufs;   // nbuf x (nch * block/decim)
+    std::vector<long> counts;               // nout per filled slot
+    long head = 0;                   // blocks produced
+    long tail = 0;                   // blocks consumed
+    bool done = false;
+    bool stop = false;
+    std::mutex mu;
+    std::condition_variable cv;
+    std::thread worker;
+};
+
+void prefetch_worker(Prefetcher* p) {
+    for (;;) {
+        {
+            std::unique_lock<std::mutex> lk(p->mu);
+            p->cv.wait(lk, [p] {
+                return p->stop || p->head - p->tail < p->nbuf;
+            });
+            if (p->stop) break;
+            if (p->pos >= p->end) {
+                p->done = true;
+                p->cv.notify_all();
+                break;
+            }
+        }
+        long count = p->block;
+        if (p->pos + count > p->end) count = p->end - p->pos;
+        count -= count % p->decim;
+        const int slot = static_cast<int>(p->head % p->nbuf);
+        long nout = 0;
+        if (count > 0) {
+            nout = shotloader_read(p->shot, p->pos, count, p->decim,
+                                   p->bufs[slot].data());
+        }
+        {
+            std::lock_guard<std::mutex> lk(p->mu);
+            p->pos += count;
+            if (nout <= 0 || count <= 0) {
+                p->done = true;
+            } else {
+                p->counts[slot] = nout;
+                ++p->head;
+            }
+            p->cv.notify_all();
+            if (p->done) break;
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Start a background producer over frames [start, start + nframes) (pass
+// nframes < 0 for "to the end of the file").  `block` input frames per
+// slot, `nbuf` ring slots.  Returns a prefetcher handle or NULL.
+void* shotloader_prefetch_start(void* handle, long start, long nframes,
+                                long block, long decim, int nbuf) {
+    Shot* s = static_cast<Shot*>(handle);
+    if (!s || start < 0 || block < 1 || decim < 1 || nbuf < 2) return nullptr;
+    block -= block % decim;
+    if (block <= 0) return nullptr;
+    Prefetcher* p = new Prefetcher();
+    p->shot = s;
+    p->block = block;
+    p->decim = decim;
+    p->pos = start;
+    p->end = (nframes < 0) ? s->nsamples
+                           : std::min(s->nsamples, start + nframes);
+    p->nbuf = nbuf;
+    const size_t slot_f = static_cast<size_t>(s->nch) *
+                          static_cast<size_t>(block / decim);
+    p->bufs.assign(nbuf, std::vector<float>(slot_f));
+    p->counts.assign(nbuf, 0);
+    p->worker = std::thread(prefetch_worker, p);
+    return p;
+}
+
+// Blocks until the next block is ready; copies it into `out` ((nch, nout)
+// row-major with the slot's nout) and returns nout.  Returns 0 at the end
+// of the range, -1 on error.
+long shotloader_prefetch_next(void* ph, float* out) {
+    Prefetcher* p = static_cast<Prefetcher*>(ph);
+    if (!p || !out) return -1;
+    std::unique_lock<std::mutex> lk(p->mu);
+    p->cv.wait(lk, [p] { return p->tail < p->head || p->done || p->stop; });
+    if (p->tail == p->head) return p->stop ? -1 : 0;
+    const int slot = static_cast<int>(p->tail % p->nbuf);
+    const long nout = p->counts[slot];
+    const long nch = p->shot->nch;
+    lk.unlock();                      // slot is exclusively ours until ++tail
+    std::memcpy(out, p->bufs[slot].data(),
+                sizeof(float) * static_cast<size_t>(nch) *
+                    static_cast<size_t>(nout));
+    lk.lock();
+    ++p->tail;
+    p->cv.notify_all();
+    return nout;
+}
+
+void shotloader_prefetch_close(void* ph) {
+    Prefetcher* p = static_cast<Prefetcher*>(ph);
+    if (!p) return;
+    {
+        std::lock_guard<std::mutex> lk(p->mu);
+        p->stop = true;
+        p->cv.notify_all();
+    }
+    if (p->worker.joinable()) p->worker.join();
+    delete p;
+}
+
+}  // extern "C"

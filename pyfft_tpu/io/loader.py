@@ -37,7 +37,7 @@ _build_err = None
 
 def _build():
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-o", _SO, _SRC]
+           "-pthread", "-o", _SO, _SRC]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
 
 
@@ -63,6 +63,15 @@ def _load_native():
                                             ctypes.POINTER(ctypes.c_float)]
             lib.shotloader_close.restype = None
             lib.shotloader_close.argtypes = [ctypes.c_void_p]
+            lib.shotloader_prefetch_start.restype = ctypes.c_void_p
+            lib.shotloader_prefetch_start.argtypes = [
+                ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+                ctypes.c_long, ctypes.c_long, ctypes.c_int]
+            lib.shotloader_prefetch_next.restype = ctypes.c_long
+            lib.shotloader_prefetch_next.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+            lib.shotloader_prefetch_close.restype = None
+            lib.shotloader_prefetch_close.argtypes = [ctypes.c_void_p]
             _lib = lib
         except Exception as e:  # pragma: no cover - no-toolchain fallback
             _build_err = e
@@ -144,16 +153,94 @@ class ShotLoader:
                     axis=1).T
         return out
 
-    def stream(self, block=1 << 16, decim=1, start=0):
-        """Iterate ``(nch, <=block/decim)`` float32 blocks over the file."""
-        pos = int(start)
+    def stream(self, block=1 << 16, decim=1, start=0, prefetch=0):
+        """Iterate ``(nch, <=block/decim)`` float32 blocks over the file.
+
+        ``prefetch > 0``: blocks are produced asynchronously ``prefetch``
+        slots ahead of the consumer — on the native path by a C++ worker
+        thread (ring buffer inside ``libshotloader``), otherwise by a
+        Python reader thread — so disk latency and the deinterleave/
+        convert/decimate work overlap the consumer's (device) compute.
+        """
         block = int(block) - int(block) % int(decim)
+        if prefetch and self._h is not None:
+            yield from self._stream_native_prefetch(block, int(decim),
+                                                    int(start),
+                                                    int(prefetch))
+            return
+        if prefetch:
+            yield from self._stream_thread_prefetch(block, int(decim),
+                                                    int(start),
+                                                    int(prefetch))
+            return
+        pos = int(start)
         while pos < self.nsamples:
             blk = self.read(pos, min(block, self.nsamples - pos), decim)
             if blk.shape[1] == 0:
                 break
             yield blk
             pos += blk.shape[1] * decim
+
+    def _stream_native_prefetch(self, block, decim, start, prefetch):
+        nout_max = block // decim
+        ph = self._lib.shotloader_prefetch_start(
+            self._h, start, -1, block, decim, max(2, prefetch + 1))
+        if not ph:
+            raise OSError("shotloader_prefetch_start failed")
+        ph = ctypes.c_void_p(ph)
+        try:
+            while True:
+                out = np.empty((self.nch, nout_max), dtype=np.float32)
+                n = self._lib.shotloader_prefetch_next(
+                    ph, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+                if n < 0:
+                    raise OSError("shotloader_prefetch_next failed")
+                if n == 0:
+                    break
+                # slots are written (nch, n) row-major with the SLOT's n
+                yield (out[:, :n] if n == nout_max
+                       else np.ascontiguousarray(
+                           out.reshape(-1)[:self.nch * n]
+                           .reshape(self.nch, n)))
+        finally:
+            self._lib.shotloader_prefetch_close(ph)
+
+    def _stream_thread_prefetch(self, block, decim, start, prefetch):
+        import queue
+        import threading as _th
+        q = queue.Queue(maxsize=max(1, prefetch))
+        stop = _th.Event()
+
+        def produce():
+            pos = start
+            try:
+                while pos < self.nsamples and not stop.is_set():
+                    blk = self.read(pos, min(block, self.nsamples - pos),
+                                    decim)
+                    if blk.shape[1] == 0:
+                        break
+                    q.put(blk)
+                    pos += blk.shape[1] * decim
+            finally:
+                q.put(None)
+
+        t = _th.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                blk = q.get()
+                if blk is None:
+                    break
+                yield blk
+        finally:
+            stop.set()
+            # drain so the producer's final put never blocks
+            try:
+                while q.get_nowait() is not None:
+                    pass
+            except Exception:
+                pass
+            t.join(timeout=5)
 
     def close(self):
         if self._h is not None:

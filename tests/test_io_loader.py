@@ -81,3 +81,38 @@ def test_stream_welch_end_to_end(tmp_path):
     assert abs(res.freq[pk] - 2500.0) < fs / 4096
     assert res.Cxy2[1, pk].real > 0.95
     assert abs(res.phi_xy[1, pk] + 0.9) < 0.02
+
+
+@pytest.mark.parametrize("force_numpy", [False, True])
+@pytest.mark.parametrize("decim", [1, 4])
+def test_stream_prefetch_matches_sync(shotfile, force_numpy, decim):
+    """Async prefetch (C++ ring buffer on the native path, reader thread on
+    the numpy path) must yield bit-identical blocks to the synchronous
+    stream, including the short trailing block."""
+    path, dtype, arr = shotfile
+    with ShotLoader(path, NCH, dtype, header_bytes=32,
+                    force_numpy=force_numpy) as ld:
+        sync = list(ld.stream(block=9000, decim=decim))
+        pre = list(ld.stream(block=9000, decim=decim, prefetch=3))
+    assert len(sync) == len(pre)
+    for a, b in zip(sync, pre):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stream_welch_prefetch(tmp_path):
+    """stream_welch over a prefetching stream gives the same spectra."""
+    fs, nt, nch = 5e4, 1 << 16, 2
+    t = np.arange(nt) / fs
+    sig = np.stack([np.sin(2 * np.pi * 2500.0 * t),
+                    0.5 * np.sin(2 * np.pi * 2500.0 * t - 0.9)], axis=1)
+    path = tmp_path / "tone2.bin"
+    with open(path, "wb") as f:
+        f.write((1000 * sig).astype(np.int16).tobytes())
+    from pyfft_tpu.streaming import StreamingWelch
+    with ShotLoader(str(path), nch, "int16") as ld:
+        sw = StreamingWelch(nwins=2048, fs=fs, nch=nch)
+        for blk in ld.stream(block=1 << 14, prefetch=2):
+            sw.push(blk[0], blk)
+        res = sw.result()
+    pk = int(np.argmax(res.Pxx))
+    assert abs(res.freq[pk] - 2500.0) < fs / 2048
