@@ -48,3 +48,15 @@ def ref_windows():
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running (multi-process) tests")
+
+
+@pytest.fixture(scope="session")
+def ref_hilbert():
+    import FFT.hilbert as refh
+    return refh
+
+
+@pytest.fixture(scope="session")
+def ref_doppler():
+    import FFT.Doppler as refd
+    return refd
