@@ -214,3 +214,25 @@ def test_resample_poly_matches_scipy():
     import pytest
     with pytest.raises(ValueError):
         flt.resample_poly(x2, 0, 1)
+
+
+def test_downsample_upsample_golden_vs_genuine_reference():
+    """down/upsample vs the GENUINE reference filters module (butter(2)
+    filtfilt + interp chain, reference filters.py:20-123)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "refshim"))
+    import FFT.filters as reff
+    rng = np.random.default_rng(8)
+    fs, nt = 4e4, 1 << 12
+    t = np.arange(nt) / fs
+    x = np.sin(2 * np.pi * 800.0 * t) + 0.05 * rng.standard_normal(nt)
+    ours = np.asarray(flt.downsample(x, fs, 1e4))
+    ref = np.asarray(reff.downsample(x, fs, 1e4, plotit=False))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-6,
+                               atol=1e-6 * np.max(np.abs(ref)))
+    up_ours = np.asarray(flt.upsample(ours, 1e4, 2e4))
+    up_ref = np.asarray(reff.upsample(ours, 1e4, 2e4, plotit=False))
+    assert up_ours.shape == up_ref.shape
+    np.testing.assert_allclose(up_ours, up_ref, rtol=1e-6,
+                               atol=1e-6 * np.max(np.abs(up_ref)))
