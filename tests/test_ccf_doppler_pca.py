@@ -179,3 +179,45 @@ def test_forward_inverse_dft():
     F = dft_mod.ForwardDFT(x)
     back = dft_mod.InverseDFT(F)
     np.testing.assert_allclose(np.real(back), x, atol=1e-12)
+
+
+def test_ccf_golden_vs_genuine_reference():
+    """ccf / ccf_sh / align_signals vs the GENUINE reference ccf module."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "refshim"))
+    import FFT.ccf as refc
+    from pyfft_tpu.ccf import ccf, ccf_sh, align_signals
+    rng = np.random.default_rng(13)
+    fs, nt = 1e4, 4096
+    t = np.arange(nt) / fs
+    x = np.sin(2 * np.pi * 500 * t) + 0.05 * rng.standard_normal(nt)
+    y = np.roll(x, 37) + 0.05 * rng.standard_normal(nt)
+    tau1, c1 = ccf(x, y, fs)
+    tau2, c2 = refc.ccf(x, y, fs)
+    np.testing.assert_allclose(np.asarray(tau1), tau2, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(c1), c2, rtol=1e-6, atol=1e-9)
+    t1, c1s = ccf_sh(x, y, fs, nav=512)
+    t2, c2s = refc.ccf_sh(x, y, fs, nav=512)
+    np.testing.assert_allclose(np.asarray(c1s), c2s, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(t1), t2, atol=1e-12)
+
+
+def test_pca_golden_vs_genuine_reference():
+    """basic_pca / PCA vs the GENUINE reference PCA module (eigh of the
+    covariance of standardized data; sign convention normalized)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "refshim"))
+    import FFT.PCA as refp
+    from pyfft_tpu.pca import basic_pca, PCA as ourPCA
+    rng = np.random.default_rng(14)
+    data = rng.standard_normal((300, 5)) @ np.diag([3, 2, 1, 0.5, 0.1])
+    U1, E1, V1 = basic_pca(data.copy(), pc_count=3)
+    U2, E2, V2 = refp.basic_pca(data.copy(), pc_count=3)
+    np.testing.assert_allclose(np.asarray(E1), E2, rtol=1e-9)
+    pr1 = np.asarray(U1)
+    pr2 = np.asarray(U2)
+    # eigenvector signs are arbitrary: compare column-wise up to sign
+    for k in range(pr1.shape[1]):
+        s = np.sign(np.dot(pr1[:, k], pr2[:, k])) or 1.0
+        np.testing.assert_allclose(pr1[:, k], s * pr2[:, k], rtol=1e-7,
+                                   atol=1e-9)

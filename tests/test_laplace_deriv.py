@@ -99,3 +99,19 @@ def test_fft_deriv_line():
 def test_rect_helper():
     np.testing.assert_array_equal(rect(np.array([-1.0, -0.5, 0.0, 0.5, 1.0])),
                                   [0.0, 0.5, 1.0, 0.5, 0.0])
+
+
+def test_laplace_golden_vs_genuine_reference():
+    """laplace_1d vs the GENUINE reference module (not a transcription)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "refshim"))
+    import FFT.laplace as refl
+    rng = np.random.default_rng(12)
+    x = (np.exp(-0.002 * np.arange(600)) * np.sin(0.21 * np.arange(600))
+         + 0.01 * rng.standard_normal(600))
+    interval = np.arange(-0.5, 0.5, 0.01)
+    ours = np.asarray(laplace_1d(x, interval))
+    ref = np.asarray(refl.laplace_1d(x, interval))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-6,
+                               atol=1e-9 * np.max(np.abs(ref)))
