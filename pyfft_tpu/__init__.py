@@ -23,6 +23,7 @@ from .spectral import (
     fftinfosc,
     Cxy_Cxy2,
     welch_cross_spectra,
+    welch_filtered_cross_spectra,
     resolve_fft_backend,
     backend_supports_complex,
 )
@@ -151,6 +152,7 @@ __all__ = [
     "fftinfosc",
     "Cxy_Cxy2",
     "welch_cross_spectra",
+    "welch_filtered_cross_spectra",
     "detrend_none",
     "detrend_mean",
     "detrend_linear",

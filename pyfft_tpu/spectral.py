@@ -458,6 +458,62 @@ def welch_cross_spectra(x, y, win, plan: seg.SegmentPlan, fs: float, *,
     return out
 
 
+def welch_filtered_cross_spectra(x, y, taps, win, plan: seg.SegmentPlan,
+                                 fs: float, *, detrend_style=1,
+                                 fft_backend=None):
+    """One-sided Welch auto-/cross-spectral densities of FIR-prefiltered
+    REAL signals — the framework's headline fused chain (a TPU-native
+    extension; the reference filters and estimates in separate passes,
+    ``filters.py:36-123`` then ``fft_analysis.py:362-388``).
+
+    ``x (nt,)`` reference, ``y (nt,) | (nch, nt)`` channels, ``taps`` a
+    causal FIR applied to every signal (``np.convolve(sig, taps,
+    'full')[:nt]``), detrend = global mean/none of the *filtered* span.
+    On the Pallas path the filter, channel interleave, detrend,
+    segmentation, transforms, and cross-power accumulation run as ONE
+    kernel dispatch; other backends filter first and delegate to
+    :func:`welch_cross_spectra`.  Returns the same dict contract
+    (averaged spectra; per-segment arrays are ``None`` on the fused path).
+    """
+    from .ops.pallas_welch import (welch_fir_pallas_fused,
+                                   pallas_welch2_applicable)
+
+    x = np.asarray(x)
+    y2 = np.atleast_2d(np.asarray(y))
+    taps_np = np.asarray(taps, np.float64)
+    win_np = np.asarray(win)
+    s1 = seg.get_s1(win_np)
+    enbw = seg.get_enbw(fs, s1, seg.get_s2(win_np))
+    backend = resolve_fft_backend(fft_backend)
+    if (backend in ("pallas", "mxu")
+            and not np.iscomplexobj(x) and not np.iscomplexobj(y2)
+            and detrend_style in (0, 1)
+            and pallas_welch2_applicable(plan.nwins, plan.noverlap,
+                                         plan.navr, y2.shape[0], taps_np,
+                                         detrend_style)):
+        norm = np.float32(1.0 / (s1 ** 2 * enbw * plan.navr))
+        Pxx, Pyy, Pr, Pi = welch_fir_pallas_fused(
+            jnp.asarray(x, jnp.float32), jnp.asarray(y2, jnp.float32),
+            win_np, plan.nnyquist, norm, navr=plan.navr, nwins=plan.nwins,
+            noverlap=plan.noverlap, taps=taps_np,
+            detrend_style=int(detrend_style))
+        sc = _onesided_power_scale(plan.nfft, plan.nnyquist)
+        out = dict(Pxx=np.asarray(Pxx) * sc,
+                   Pyy=(np.asarray(Pyy) * sc).T,
+                   Pxy=((np.asarray(Pr) + 1j * np.asarray(Pi)) * sc).T,
+                   Pxx_seg=None, Pyy_seg=None, Pxy_seg=None,
+                   Xfft_seg=None, Yfft_seg=None)
+        freq = np.fft.fftfreq(plan.nfft, 1.0 / fs)
+        out["freq"] = freq[:plan.nnyquist]
+        return out
+    from .filters import fir_filter
+    xf = np.asarray(fir_filter(x, taps_np))
+    yf = np.asarray(fir_filter(y2, taps_np))
+    return welch_cross_spectra(xf, yf, win_np, plan, fs, onesided=True,
+                               detrend_style=detrend_style,
+                               fft_backend=backend)
+
+
 # --------------------------------------------------------------------------- #
 # Independent-oracle CSD path (role of matplotlib.mlab.csd; reference :288-303)
 # --------------------------------------------------------------------------- #

@@ -243,3 +243,30 @@ def test_fft_pwelch_usemlab_matches_matplotlib_end_to_end():
     n = min(len(f_m), info.Nnyquist)
     np.testing.assert_allclose(np.abs(np.asarray(Pxx))[1:n - 1],
                                Pxx_m[1:n - 1], rtol=1e-9, atol=1e-14)
+
+
+def test_welch_filtered_cross_spectra_paths_agree():
+    """Public fused FIR+Welch chain: the single-dispatch Pallas path must
+    match filter-then-estimate through the generic core."""
+    from pyfft_tpu import welch_filtered_cross_spectra
+    from pyfft_tpu import segmentation as sgm
+    from pyfft_tpu.filters import firwin
+    rng = np.random.default_rng(21)
+    fs, nt = 1e4, 1 << 14
+    x = rng.standard_normal(nt)
+    y = rng.standard_normal((2, nt))
+    taps = np.asarray(firwin(129, [0.1, 0.4], pass_zero=False))
+    plan = sgm.plan_segments(nt, nwins=1024, windowoverlap=0.5)
+    win = np.hanning(1025)[:-1]
+    a = welch_filtered_cross_spectra(x, y, taps, win, plan, fs,
+                                     fft_backend="pallas")
+    b = welch_filtered_cross_spectra(x, y, taps, win, plan, fs,
+                                     fft_backend="xla")
+    s = np.max(np.abs(np.asarray(b["Pxx"])))
+    np.testing.assert_allclose(np.asarray(a["Pxx"]), np.asarray(b["Pxx"]),
+                               rtol=2e-4, atol=2e-5 * s)
+    np.testing.assert_allclose(np.asarray(a["Pyy"]), np.asarray(b["Pyy"]),
+                               rtol=2e-4, atol=2e-5 * s)
+    np.testing.assert_allclose(np.asarray(a["Pxy"]), np.asarray(b["Pxy"]),
+                               rtol=2e-4, atol=2e-5 * s)
+    assert a["freq"][0] == 0.0 and a["Pxx"].shape == b["Pxx"].shape
