@@ -40,6 +40,7 @@ from functools import lru_cache, partial
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -47,15 +48,15 @@ from .precision import split_bf16, resolve_kernel_precision
 
 __all__ = ["welch_fir_pallas3", "pallas_welch3_applicable",
            "welch_pallas3_twosided", "pallas_welch3_cplx_applicable",
-           "stft_pallas3"]
+           "stft_pallas3", "welch_auto_packed", "packed_parts_geometry"]
 
 _LANES = 128
 
 # grid-step unroll: chunks per grid step sharing one table residency.  More
 # unroll amortizes per-step pipeline overhead; the cap keeps the double-
 # buffered `cur` window comfortably inside VMEM next to the tables.
-_UNROLL_CAP = 4
-_UNROLL_VMEM = 3 * 1024 * 1024
+_UNROLL_CAP = 8
+_UNROLL_VMEM = 6 * 1024 * 1024
 
 
 # --------------------------------------------------------------------------- #
@@ -203,7 +204,8 @@ def _rsplit(x, kprec):
 
 
 def _chunk_spectra(cur_ref, head_ref, mrow_ref, tabs, b, k, *, C, R, Sseg,
-                   navr, blk, unroll, kprec, cplx, pre=False, kv=0, hr=None):
+                   navr, blk, unroll, kprec, cplx, pre=False, kv=0, hr=None,
+                   vmask=False):
     """One chunk of the factored transform: gather -> detrend/window/mask ->
     stage A -> twiddle -> stage B -> (optional) complex recombination.
     Returns per-segment spectra ``(X3r, X3i)`` shaped ``(Co, Sseg, R, 128)``
@@ -216,11 +218,11 @@ def _chunk_spectra(cur_ref, head_ref, mrow_ref, tabs, b, k, *, C, R, Sseg,
                                axis=0)                       # (L, N)
     return _chunk_math(rows, mrow_ref, tabs, b, k, C=C, R=R, Sseg=Sseg,
                        navr=navr, unroll=unroll, kprec=kprec, cplx=cplx,
-                       pre=pre, kv=kv, hr=hr)
+                       pre=pre, kv=kv, hr=hr, vmask=vmask)
 
 
 def _chunk_math(rows, mrow_ref, tabs, b, k, *, C, R, Sseg, navr, unroll,
-                kprec, cplx, pre=False, kv=0, hr=None):
+                kprec, cplx, pre=False, kv=0, hr=None, vmask=False):
     """The factored-transform math on an in-VMEM ``(L, N)`` row window."""
     # gather Sseg segments of all C channels: (128, N), row = s*R + r
     if hr is not None and R % 8 == 0 and hr % 8 == 0:
@@ -238,7 +240,15 @@ def _chunk_math(rows, mrow_ref, tabs, b, k, *, C, R, Sseg, navr, unroll,
         if rl is not None:
             st = st + _d(tabs["G"][0][...], rl)
 
-    if pre and k < kv:
+    if pre and vmask:
+        # virtual-channel packing: every lane group is a different time
+        # part with its own valid-segment count, carried per-lane in the
+        # (otherwise unused) mrow operand — mask EVERY chunk slot
+        rowseg = (jax.lax.broadcasted_iota(jnp.int32, (_LANES, 1), 0) // R
+                  + (b * unroll + k) * Sseg)
+        mask = (rowseg.astype(jnp.float32) < mrow_ref[...])
+        stw = st * tabs["W"][0][...] * mask.astype(jnp.float32)
+    elif pre and k < kv:
         # feeder already subtracted the global mean; chunk slots below kv
         # can never contain a segment index >= navr, so no mask either
         stw = st * tabs["W"][0][...]
@@ -312,22 +322,31 @@ def _unpack_tabs(refs, counts):
 
 
 def _v3_kernel(cur_ref, head_ref, mrow_ref, *refs, counts, C, R, Sseg, navr,
-               blk, unroll, kprec, cplx=False, pre=False, kv=0):
+               blk, unroll, kprec, cplx=False, pre=False, kv=0,
+               auto_only=False, vmask=False):
     """Grid ``(nb,)``: ``unroll`` chunks of Sseg segments x C channels per
     step, all-matmul.  The unroll amortizes per-grid-step pipeline overhead
-    (measured ~5us/step) over several chunks sharing one table residency."""
+    (measured ~5us/step) over several chunks sharing one table residency.
+    ``auto_only`` skips the cross-spectra reductions (PSD-only callers,
+    e.g. the virtual-channel packed path)."""
     tabs, outs = _unpack_tabs(refs, counts)
-    auto_ref, xre_ref, xim_ref = outs[:3]
+    if auto_only:
+        auto_ref, = outs[:1]
+    else:
+        auto_ref, xre_ref, xim_ref = outs[:3]
     b = pl.program_id(0)
 
     def chunk(k):
         X3r, X3i = _chunk_spectra(cur_ref, head_ref, mrow_ref, tabs, b, k,
                                   C=C, R=R, Sseg=Sseg, navr=navr, blk=blk,
                                   unroll=unroll, kprec=kprec, cplx=cplx,
-                                  pre=pre, kv=kv, hr=blk // Sseg)
+                                  pre=pre, kv=kv, hr=blk // Sseg,
+                                  vmask=vmask)
+        auto = jnp.sum(X3r * X3r + X3i * X3i, axis=1)      # (Co, R, 128)
+        if auto_only:
+            return auto, None, None
         xr0 = X3r[0]                                       # reference (c=0)
         xi0 = X3i[0]
-        auto = jnp.sum(X3r * X3r + X3i * X3i, axis=1)      # (Co, R, 128)
         xre = jnp.sum(X3r * xr0[None] + X3i * xi0[None], axis=1)
         xim = jnp.sum(X3i * xr0[None] - X3r * xi0[None], axis=1)
         return auto, xre, xim
@@ -336,20 +355,23 @@ def _v3_kernel(cur_ref, head_ref, mrow_ref, *refs, counts, C, R, Sseg, navr,
     for k in range(1, unroll):
         a, re, im = chunk(k)
         auto += a
-        xre += re
-        xim += im
+        if not auto_only:
+            xre += re
+            xim += im
 
     @pl.when(b == 0)
     def _init():
         auto_ref[...] = auto
-        xre_ref[...] = xre
-        xim_ref[...] = xim
+        if not auto_only:
+            xre_ref[...] = xre
+            xim_ref[...] = xim
 
     @pl.when(b != 0)
     def _accum():
         auto_ref[...] += auto
-        xre_ref[...] += xre
-        xim_ref[...] += xim
+        if not auto_only:
+            xre_ref[...] += xre
+            xim_ref[...] += xim
 
 
 def _assemble_rows(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref, yh_ref,
@@ -400,7 +422,8 @@ def _assemble_rows(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref, yh_ref,
 
 def _v3_fused_kernel(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref, yh_ref,
                      srow_ref, *refs, counts, C, R, Sseg, navr, blk,
-                     unroll, kprec, cplx, kv, m, nbands, nrv, sub):
+                     unroll, kprec, cplx, kv, m, nbands, nrv, sub,
+                     auto_only=False, vmask=False):
     """Single-dispatch chain: FIR + channel interleave + detrend + Welch.
 
     Reads the ORIGINAL ``x (nr, 128)`` / ``y (nch, nr, 128)`` row views —
@@ -414,7 +437,10 @@ def _v3_fused_kernel(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref, yh_ref,
     """
     band_refs = refs[:nbands]
     tabs, outs = _unpack_tabs(refs[nbands:], counts)
-    auto_ref, xre_ref, xim_ref = outs[:3]
+    if auto_only:
+        auto_ref, = outs[:1]
+    else:
+        auto_ref, xre_ref, xim_ref = outs[:3]
     b = pl.program_id(0)
     rows_all = _assemble_rows(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref,
                               yh_ref, srow_ref, band_refs, b, C=C, R=R,
@@ -426,8 +452,10 @@ def _v3_fused_kernel(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref, yh_ref,
         X3r, X3i = _chunk_math(rows, srow_ref, tabs, b, k, C=C, R=R,
                                Sseg=Sseg, navr=navr, unroll=unroll,
                                kprec=kprec, cplx=cplx, pre=True, kv=kv,
-                               hr=blk // Sseg)
+                               hr=blk // Sseg, vmask=vmask)
         auto = jnp.sum(X3r * X3r + X3i * X3i, axis=1)
+        if auto_only:
+            return auto, None, None
         if X3r.shape[0] == 1:
             # auto-PSD only (no channels): X x conj(X) == |X|^2 exactly
             return auto, auto, jnp.zeros_like(auto)
@@ -441,20 +469,23 @@ def _v3_fused_kernel(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref, yh_ref,
     for k in range(1, unroll):
         a, re, im = chunk(k)
         auto += a
-        xre += re
-        xim += im
+        if not auto_only:
+            xre += re
+            xim += im
 
     @pl.when(b == 0)
     def _init():
         auto_ref[...] = auto
-        xre_ref[...] = xre
-        xim_ref[...] = xim
+        if not auto_only:
+            xre_ref[...] = xre
+            xim_ref[...] = xim
 
     @pl.when(b != 0)
     def _accum():
         auto_ref[...] += auto
-        xre_ref[...] += xre
-        xim_ref[...] += xim
+        if not auto_only:
+            xre_ref[...] += xre
+            xim_ref[...] += xim
 
 
 # --------------------------------------------------------------------------- #
@@ -463,9 +494,11 @@ def _v3_fused_kernel(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref, yh_ref,
 
 @partial(jax.jit, static_argnames=("navr", "nwins", "noverlap", "taps_key",
                                    "win_key", "detrend_style", "kprec",
-                                   "interpret", "cplx"))
-def _v3_pipeline(x, y, norm, *, navr, nwins, noverlap, taps_key, win_key,
-                 detrend_style, kprec, interpret, cplx=False):
+                                   "interpret", "cplx", "auto_only",
+                                   "vmask"))
+def _v3_pipeline(x, y, norm, vrow=None, *, navr, nwins, noverlap, taps_key,
+                 win_key, detrend_style, kprec, interpret, cplx=False,
+                 auto_only=False, vmask=False):
     nch, nt = y.shape
     C = nch + 1
     N = C * _LANES
@@ -505,6 +538,11 @@ def _v3_pipeline(x, y, norm, *, navr, nwins, noverlap, taps_key, win_key,
         m_row = jnp.repeat(m_ch, _LANES, total_repeat_length=N)[None]
     else:
         m_row = jnp.zeros((1, N), jnp.float32)
+    if vmask:
+        # packed virtual channels: the mrow operand carries per-lane
+        # valid-segment counts instead (detrend is pre-applied by the
+        # packer, so the slot is free)
+        m_row = jnp.asarray(vrow, jnp.float32).reshape(1, N)
 
     # the banded-matmul FIR writes the (nrows, C*128) row-major layout
     # directly through its output BlockSpec (identity taps when no filter
@@ -519,8 +557,9 @@ def _v3_pipeline(x, y, norm, *, navr, nwins, noverlap, taps_key, win_key,
     kv = max(0, navr // Sseg - (nb - 1) * unroll)
     tables, counts = _v3_tables_host(nwins, hr, C, win_key, kprec)
     Co = C // 2 if cplx else C
-    out_specs = [pl.BlockSpec((Co, R, _LANES), lambda b: (0, 0, 0))] * 3
-    out_shape = [jax.ShapeDtypeStruct((Co, R, _LANES), jnp.float32)] * 3
+    nouts = 1 if auto_only else 3
+    out_specs = [pl.BlockSpec((Co, R, _LANES), lambda b: (0, 0, 0))] * nouts
+    out_shape = [jax.ShapeDtypeStruct((Co, R, _LANES), jnp.float32)] * nouts
     passes = {"highest": 6, "bf16x3": 3, "bf16": 1}[kprec]
     mm = (2 + 2 * passes + 3 * passes) * _LANES * _LANES * N
     flops = 2 * nb * unroll * mm
@@ -581,11 +620,12 @@ def _v3_pipeline(x, y, norm, *, navr, nwins, noverlap, taps_key, win_key,
         ]
         if taps_key:
             flops += 2 * (m + 1) * passes * C * (nb * ub) * _LANES * _LANES
-        auto, xre, xim = pl.pallas_call(
+        outs = pl.pallas_call(
             partial(_v3_fused_kernel, counts=counts, C=C, R=R, Sseg=Sseg,
                     navr=navr, blk=blk, unroll=unroll, kprec=kprec,
                     cplx=cplx, kv=kv, m=m, nbands=len(bands_flat), nrv=nr,
-                    sub=detrend_style == 1),
+                    sub=detrend_style == 1, auto_only=auto_only,
+                    vmask=vmask),
             grid=(nb,),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -611,10 +651,11 @@ def _v3_pipeline(x, y, norm, *, navr, nwins, noverlap, taps_key, win_key,
             pl.BlockSpec((1, N), lambda b: (0, 0)),
             *const_specs,
         ]
-        auto, xre, xim = pl.pallas_call(
+        outs = pl.pallas_call(
             partial(_v3_kernel, counts=counts, C=C, R=R, Sseg=Sseg,
                     navr=navr, blk=blk, unroll=unroll, kprec=kprec,
-                    cplx=cplx, pre=False, kv=kv),
+                    cplx=cplx, pre=False, kv=kv, auto_only=auto_only,
+                    vmask=vmask),
             grid=(nb,),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -630,6 +671,9 @@ def _v3_pipeline(x, y, norm, *, navr, nwins, noverlap, taps_key, win_key,
     # natural order: bin k = q + R p lives at [q, p]
     def natural(o):                              # (Co, R, 128) -> (Co, nwins)
         return o.transpose(0, 2, 1).reshape(Co, nwins) * norm
+    if auto_only:
+        return natural(outs[0])
+    auto, xre, xim = outs
     A = natural(auto)
     Re = natural(xre)
     Im = natural(xim)
@@ -672,6 +716,126 @@ def welch_fir_pallas3(x, y, win, nfreq, norm, *, navr, nwins, noverlap,
         interpret=bool(interpret))
     return (Pxx[:nfreq], Pyy[:, :nfreq], Pxy_re[:, :nfreq],
             Pxy_im[:, :nfreq])
+
+
+# --------------------------------------------------------------------------- #
+# Virtual-channel packing (single-signal lane fill)
+# --------------------------------------------------------------------------- #
+
+def packed_parts_geometry(navr, nwins, noverlap, parts=16):
+    """``(P, q, Lp)`` for virtual-channel packing, or ``None``.
+
+    A single signal leaves the kernel's ``C*128`` lane dimension one tile
+    wide (MXU operands 128 columns — measured ~10% utilization).  Packing
+    splits the *segment range* into ``P`` time-parts fed as kernel
+    channels: part ``p`` owns segments ``p*q .. p*q+q-1`` and spans
+    ``Lp = (q-1)*hop + nwins`` samples starting at ``p*q*hop`` — the
+    intra-chip analogue of the SP/CP time-sharding in
+    ``pyfft_tpu.parallel.welch`` (SURVEY §2.3), with the part overlap
+    playing the halo role.
+    """
+    hop = nwins - noverlap
+    P = int(min(parts, navr, 16))
+    if P <= 1:
+        return None
+    q = -(-navr // P)
+    P = -(-navr // q)                       # drop fully-empty parts
+    if P <= 1 or _v3_geometry(nwins, noverlap, P - 1) is None:
+        return None
+    Lp = (q - 1) * hop + nwins
+    return P, q, Lp
+
+
+def _pack_parts(x, mean, navr, nwins, noverlap, P, q, Lp):
+    """Stack the P part views ``(P, Lp)``, mean-subtracted and zero-masked.
+
+    Full parts are plain strided slices of ``x - mean``; the (single)
+    partial part is masked past its last valid segment's end so padded
+    tail segments are *exactly zero* (and therefore contribute nothing to
+    the PSD sums with the kernel's detrend disabled).
+    """
+    hop = nwins - noverlap
+    nt = x.shape[-1]
+    maxend = (P - 1) * q * hop + Lp
+    if maxend > nt:
+        x = jnp.concatenate([x, jnp.zeros(maxend - nt, jnp.float32)])
+    rows = []
+    for p in range(P):
+        lo = p * q * hop
+        part = lax.slice(x, (lo,), (lo + Lp,)) - mean
+        v = min(q, navr - p * q)
+        if v < q:
+            lim = (v - 1) * hop + nwins
+            part = jnp.where(jnp.arange(Lp) < lim, part, 0.0)
+        rows.append(part)
+    return jnp.stack(rows)
+
+
+@partial(jax.jit, static_argnames=("navr", "nwins", "noverlap", "taps_key",
+                                   "win_key", "detrend_style", "kprec",
+                                   "interpret", "geom"))
+def _packed_auto_pipeline(x, norm, *, navr, nwins, noverlap, taps_key,
+                          win_key, detrend_style, kprec, interpret, geom):
+    P, q, Lp = geom
+    nt = x.shape[-1]
+    if taps_key is not None:
+        from .pallas_fir import fir_pallas
+        pad = -(-nt // (512 * _LANES)) * (512 * _LANES) - nt
+        xp = jnp.concatenate([x, jnp.zeros(pad, jnp.float32)]) if pad else x
+        x = fir_pallas(xp[None], np.asarray(taps_key, np.float64),
+                       interpret=interpret, precision=kprec)[0][:nt]
+    mean = (jnp.sum(x) / nt if detrend_style == 1
+            else jnp.float32(0.0))
+    partsarr = _pack_parts(x, mean, navr, nwins, noverlap, P, q, Lp)
+    # per-part valid-segment counts, tiled per lane: segments past a
+    # part's count overlap REAL samples of its last valid segment, so
+    # zero-masking the data alone cannot silence them — the kernel masks
+    # them per lane group instead (vmask)
+    v = np.minimum(q, navr - q * np.arange(P)).astype(np.float32)
+    vrow = np.repeat(v, _LANES).reshape(1, P * _LANES)
+    A = _v3_pipeline(partsarr[0], partsarr[1:], jnp.float32(1.0), vrow,
+                     navr=q, nwins=nwins, noverlap=noverlap, taps_key=None,
+                     win_key=win_key, detrend_style=0, kprec=kprec,
+                     interpret=interpret, auto_only=True, vmask=True)
+    return jnp.sum(A, axis=0) * norm
+
+
+def welch_auto_packed(x, win, nfreq, norm, *, navr, nwins, noverlap,
+                      taps=None, detrend_style=1, precision=None,
+                      interpret=None, parts=16):
+    """Single-signal Welch auto-PSD with virtual-channel lane packing.
+
+    Same math as ``welch_fir_pallas3(x, zeros((0, nt)), ...)`` — causal
+    FIR, global-mean detrend, one-sided ``norm`` scaling applied by the
+    caller — with the segment range spread across the kernel's lane
+    dimension as virtual channels (see :func:`packed_parts_geometry`).
+    Returns ``Pxx (nfreq,)``.
+
+    Status: OPT-IN.  Measured on TPU v5e (nt=2^23, nwins=4096) the v3
+    kernel's wall time is dominated by per-dispatch and per-call fixed
+    costs, not by the lane-starved matmuls this path widens, so packing
+    plus its XLA gather pass came out ~15% *slower* end-to-end than the
+    plain C=1 kernel.  Kept as the correctness-proven building block for
+    in-kernel lane spreading; not dispatched automatically.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    kprec = resolve_kernel_precision(precision)
+    x = jnp.asarray(x, jnp.float32)
+    geom = packed_parts_geometry(navr, nwins, noverlap, parts)
+    if geom is None:
+        raise ValueError("packing not applicable for this geometry")
+    if detrend_style not in (0, 1):
+        raise ValueError("v3 welch kernel supports detrend mean/none")
+    taps_key = (tuple(np.asarray(taps, np.float64).tolist())
+                if taps is not None else None)
+    win_key = tuple(np.asarray(win, np.float64).tolist())
+    Pxx = _packed_auto_pipeline(
+        x, jnp.float32(norm), navr=navr, nwins=nwins, noverlap=noverlap,
+        taps_key=taps_key, win_key=win_key,
+        detrend_style=int(detrend_style), kprec=kprec,
+        interpret=bool(interpret), geom=geom)
+    return Pxx[:nfreq]
 
 
 def v3_dispatched_flops(nwins, noverlap, navr, nch, ntaps=0,

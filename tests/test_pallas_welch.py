@@ -342,3 +342,39 @@ def test_fused_kernel_random_geometry_fuzz(seed):
                                    rtol=2e-5, atol=3e-5 * scl)
         np.testing.assert_allclose(np.asarray(Pr) + 1j * np.asarray(Pi),
                                    PxyN[:, :nf], rtol=2e-5, atol=3e-5 * scl)
+
+
+@pytest.mark.parametrize("nwins,nov,nt,ntaps,det", [
+    (512, 256, 1 << 15, 0, 1),
+    (512, 256, 1 << 15, 33, 1),
+    (1024, 512, 1 << 16, 0, 0),
+    (512, 384, 40960, 0, 1),
+    (256, 128, 9 * 128 * 30 + 128, 65, 1),
+])
+def test_welch_auto_packed_matches_unpacked(nwins, nov, nt, ntaps, det):
+    """Virtual-channel packing (welch_auto_packed) == plain v3 auto-PSD,
+    including partial parts masked per lane group via vmask."""
+    from pyfft_tpu.ops.pallas_welch3 import (welch_auto_packed,
+                                             welch_fir_pallas3,
+                                             packed_parts_geometry)
+    import jax.numpy as jnp
+    rng = np.random.default_rng(7)
+    hop = nwins - nov
+    navr = (nt - nov) // hop
+    assert packed_parts_geometry(navr, nwins, nov) is not None
+    x = rng.standard_normal(nt).astype(np.float32)
+    win = np.hanning(nwins + 1)[:-1]
+    taps = None
+    if ntaps:
+        t_ = np.hanning(ntaps)
+        taps = t_ / t_.sum()
+    y0 = jnp.zeros((0, nt), jnp.float32)
+    ref = welch_fir_pallas3(x, y0, win, nwins // 2 + 1, 1.0, navr=navr,
+                            nwins=nwins, noverlap=nov, taps=taps,
+                            detrend_style=det)[0]
+    got = welch_auto_packed(x, win, nwins // 2 + 1, 1.0, navr=navr,
+                            nwins=nwins, noverlap=nov, taps=taps,
+                            detrend_style=det)
+    scl = float(np.max(np.abs(np.asarray(ref))))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6 * scl)
