@@ -95,13 +95,146 @@ def hilbert(uin, nfft=None, axes=-1):
     return (np.asarray(zr) + 1j * np.asarray(zi)).squeeze()
 
 
-@partial(jax.jit, static_argnames=("nfft", "axis"))
-def _envelope_phase_dev(u, *, nfft, axis):
+def _dft_tables(M, sign):
+    """(cos, sign*sin) DFT matrices as f32 jnp constants."""
+    n = np.arange(M)
+    ang = (2.0 * np.pi / M) * np.outer(n, n)
+    return (jnp.asarray(np.cos(ang), jnp.float32),
+            jnp.asarray(sign * np.sin(ang), jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("nfft", "factors", "prec"))
+def _analytic_factored(x, *, nfft, factors, prec):
+    """Analytic signal of a real 1-D ``x`` as a depth-3 contraction chain.
+
+    The recursive four-step in :mod:`pyfft_tpu.ops.mxu_fft` interleaves
+    ``swapaxes`` + ``reshape`` pairs that XLA must materialize — the
+    compiled forward+inverse chain for ``nfft=2^23`` carries ~1.5 GB of
+    layout-copy traffic, which dominates its wall time on TPU.  This
+    variant factors ``nfft = n1*n2*n3`` and contracts the FIRST, MIDDLE,
+    and LAST axes in place (``dot`` / ``einsum('kbc,bj->kjc')`` /
+    ``dot``), so the spectrum lands in the permuted layout
+    ``k = k1 + n1*k2 + n1*n2*k3`` with **zero transposes**.  The analytic
+    mask (reference ``hilbert.py:105-109``) is elementwise, so it is
+    evaluated directly in that layout from broadcast iotas (no table),
+    and the mirrored inverse chain returns to natural time order — the
+    permutation cancels without ever being materialized.
+
+    Twiddles ``W_N^{(b*n3+c)*k1}`` are applied as two rank-1-broadcast
+    rotations (``(k1,b)`` then ``(k1,c)``) to avoid an ``(n1,n2,n3)``
+    constant the size of the signal.
+    """
+    n1, n2, n3 = factors
+    P = {"highest": jax.lax.Precision.HIGHEST,
+         "bf16x3": jax.lax.Precision.HIGH,
+         "bf16": jax.lax.Precision.DEFAULT}[prec]
+    C1, S1 = _dft_tables(n1, -1.0)
+    C2, S2 = _dft_tables(n2, -1.0)
+    C3, S3 = _dft_tables(n3, -1.0)
+
+    X = x.reshape(n1, n2 * n3).astype(jnp.float32)
+    # stage 1: DFT over the first axis (x real: two matmuls)
+    Ar = jnp.dot(C1, X, precision=P).reshape(n1, n2, n3)
+    Ai = jnp.dot(S1, X, precision=P).reshape(n1, n2, n3)
+
+    # twiddle W_N^{(b*n3+c)*k1} as two broadcast rotations
+    k1 = np.arange(n1)
+    ang_b = (2.0 * np.pi / nfft) * n3 * np.outer(k1, np.arange(n2))
+    ang_c = (2.0 * np.pi / nfft) * np.outer(k1, np.arange(n3))
+    TBr = jnp.asarray(np.cos(ang_b), jnp.float32)[:, :, None]
+    TBi = jnp.asarray(-np.sin(ang_b), jnp.float32)[:, :, None]
+    TCr = jnp.asarray(np.cos(ang_c), jnp.float32)[:, None, :]
+    TCi = jnp.asarray(-np.sin(ang_c), jnp.float32)[:, None, :]
+    Ar, Ai = Ar * TBr - Ai * TBi, Ar * TBi + Ai * TBr
+    Ar, Ai = Ar * TCr - Ai * TCi, Ar * TCi + Ai * TCr
+
+    # every einsum below asks for exactly dot_general's natural output
+    # order (remaining lhs dims, then rhs dims), so NO output transpose is
+    # ever materialized; the one unavoidable axis flip of the inverse's
+    # middle contraction is deferred to the tiny real outputs
+    # stage 2: DFT over the middle axis -> (k1, c, k2)
+    e2 = lambda u, M: jnp.einsum("kbc,bj->kcj", u, M, precision=P)
+    Br = e2(Ar, C2) - e2(Ai, S2)
+    Bi = e2(Ar, S2) + e2(Ai, C2)
+
+    # twiddle W_{n2*n3}^{c*k2} in (c, k2) layout, broadcast over k1
+    ang2 = (2.0 * np.pi / (n2 * n3)) * np.outer(np.arange(n3),
+                                                np.arange(n2))
+    T2r = jnp.asarray(np.cos(ang2), jnp.float32)[None]
+    T2i = jnp.asarray(-np.sin(ang2), jnp.float32)[None]
+    Br, Bi = Br * T2r - Bi * T2i, Br * T2i + Bi * T2r
+
+    # stage 3: DFT over c (now the middle axis) -> (k1, k2, k3)
+    e3 = lambda u, M: jnp.einsum("kcj,cm->kjm", u, M, precision=P)
+    Xr = e3(Br, C3) - e3(Bi, S3)
+    Xi = e3(Br, S3) + e3(Bi, C3)
+
+    # analytic mask at k = k1 + n1 k2 + n1 n2 k3 (fused iota compares)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (n1, n2, n3), 0)
+    i2 = jax.lax.broadcasted_iota(jnp.int32, (n1, n2, n3), 1)
+    i3 = jax.lax.broadcasted_iota(jnp.int32, (n1, n2, n3), 2)
+    kk = i1 + n1 * i2 + (n1 * n2) * i3
+    nyq = (nfft + 1) // 2 if nfft % 2 else nfft // 2
+    h = jnp.where((kk == 0) | (kk == nyq), 1.0,
+                  jnp.where(kk < nyq, 2.0, 0.0)).astype(jnp.float32)
+    Xr = Xr * h
+    Xi = Xi * h
+
+    # inverse chain, mirrored (conjugate tables/twiddles, 1/nfft at the end)
+    C3v, S3v = _dft_tables(n3, +1.0)
+    C2v, S2v = _dft_tables(n2, +1.0)
+    C1v, S1v = _dft_tables(n1, +1.0)
+    # contract k3 (last) -> (k1, k2, c)
+    Br = jnp.dot(Xr, C3v, precision=P) - jnp.dot(Xi, S3v, precision=P)
+    Bi = jnp.dot(Xr, S3v, precision=P) + jnp.dot(Xi, C3v, precision=P)
+    # conj twiddle in (k2, c) layout
+    T2rk = jnp.asarray(np.cos(ang2.T), jnp.float32)[None]
+    T2ik = jnp.asarray(-np.sin(ang2.T), jnp.float32)[None]
+    Br, Bi = Br * T2rk + Bi * T2ik, Bi * T2rk - Br * T2ik
+    # contract k2 (middle) -> (k1, c, b)
+    ei = lambda u, M: jnp.einsum("kjc,jb->kcb", u, M, precision=P)
+    Ar = ei(Br, C2v) - ei(Bi, S2v)
+    Ai = ei(Br, S2v) + ei(Bi, C2v)
+    # conj of the stage-1 twiddles, in (k1, c, b) layout
+    TBr2 = jnp.asarray(np.cos(ang_b), jnp.float32)[:, None, :]
+    TBi2 = jnp.asarray(-np.sin(ang_b), jnp.float32)[:, None, :]
+    TCr2 = jnp.asarray(np.cos(ang_c), jnp.float32)[:, :, None]
+    TCi2 = jnp.asarray(-np.sin(ang_c), jnp.float32)[:, :, None]
+    Ar, Ai = Ar * TCr2 + Ai * TCi2, Ai * TCr2 - Ar * TCi2
+    Ar, Ai = Ar * TBr2 + Ai * TBi2, Ai * TBr2 - Ar * TBi2
+    A2r = Ar.reshape(n1, n3 * n2)
+    A2i = Ai.reshape(n1, n3 * n2)
+    s = np.float32(1.0 / nfft)
+    # contract k1 (first) -> time domain in (a, c, b) layout
+    zr = (jnp.dot(C1v, A2r, precision=P)
+          - jnp.dot(S1v, A2i, precision=P)) * s
+    zi = (jnp.dot(C1v, A2i, precision=P)
+          + jnp.dot(S1v, A2r, precision=P)) * s
+    # the deferred flip: (a, c, b) -> (a, b, c), materialized once per
+    # real output instead of once per complex intermediate
+    zr = zr.reshape(n1, n3, n2).transpose(0, 2, 1).reshape(nfft)
+    zi = zi.reshape(n1, n3, n2).transpose(0, 2, 1).reshape(nfft)
+    return zr, zi
+
+
+@partial(jax.jit, static_argnames=("nfft", "axis", "prec"))
+def _envelope_phase_dev(u, *, nfft, axis, prec=None):
+    from .ops.mxu_fft import balanced3_factorization
+    from .ops.precision import resolve_kernel_precision
+
     if jax.default_backend() == "cpu":
         z = _hilbert_xla(u, nfft=nfft, axis=axis)
         zr, zi = jnp.real(z), jnp.imag(z)
     else:
-        zr, zi = _hilbert_mxu(u, nfft=nfft, axis=axis)
+        factors = (balanced3_factorization(int(nfft))
+                   if u.ndim == 1 and axis in (-1, 0)
+                   and u.shape[-1] == nfft else None)
+        if factors is not None:
+            zr, zi = _analytic_factored(
+                u, nfft=int(nfft), factors=factors,
+                prec=resolve_kernel_precision(prec))
+        else:
+            zr, zi = _hilbert_mxu(u, nfft=nfft, axis=axis)
     return jnp.sqrt(zr * zr + zi * zi), jnp.arctan2(zi, zr)
 
 

@@ -40,7 +40,7 @@ from jax import lax
 
 
 __all__ = ["fft_pair", "ifft_pair", "rfft_pair", "irfft_pair", "dft_matrices",
-           "good_leaf_factorization", "fftfreq"]
+           "good_leaf_factorization", "balanced3_factorization", "fftfreq"]
 
 _DEF_LEAF = 128
 
@@ -83,6 +83,26 @@ def good_leaf_factorization(N: int, leaf: int = _DEF_LEAF):
             break
         d -= 1
     return best
+
+
+@lru_cache(maxsize=None)
+def balanced3_factorization(N: int, maxf: int = 512):
+    """Three factors ``n1 <= n2 <= n3 <= maxf`` with ``n1*n2*n3 == N``,
+    minimizing ``n1+n2+n3`` (the matmul cost of a depth-3 contraction
+    chain).  Returns ``None`` when no such split exists."""
+    best = None
+    top = min(maxf, int(round(N ** (1.0 / 3.0))) + 1)
+    for n1 in range(2, top + 1):
+        if N % n1:
+            continue
+        pair = good_leaf_factorization(N // n1, maxf)
+        if pair is None or pair[1] > maxf or pair[0] < n1:
+            continue
+        n2, n3 = pair
+        cost = n1 + n2 + n3
+        if best is None or cost < best[0]:
+            best = (cost, (n1, n2, n3))
+    return best[1] if best else None
 
 
 # Above this size, a prime factor is handled with Bluestein's chirp-z

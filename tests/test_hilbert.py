@@ -76,3 +76,33 @@ def test_envelope_demodulation():
     phase = np.unwrap(np.angle(z))
     finst = np.diff(phase) * fs / (2 * np.pi)
     assert abs(np.median(finst) - 100) < 1.0
+
+
+def test_analytic_factored_matches_scipy():
+    """The depth-3 contraction-chain analytic signal (the TPU fast path of
+    envelope_phase) against scipy.signal.hilbert, several factorizations."""
+    import jax.numpy as jnp
+    from scipy.signal import hilbert as sp_hilbert
+    from pyfft_tpu.hilbert import _analytic_factored
+    from pyfft_tpu.ops.mxu_fft import balanced3_factorization
+    rng = np.random.default_rng(2)
+    for nfft in [1 << 12, 9 * (1 << 10), 1 << 13]:
+        fac = balanced3_factorization(nfft)
+        assert fac is not None and np.prod(fac) == nfft
+        x = rng.standard_normal(nfft).astype(np.float32)
+        zr, zi = _analytic_factored(jnp.asarray(x), nfft=nfft, factors=fac,
+                                    prec="highest")
+        z = sp_hilbert(np.float64(x))
+        scl = np.max(np.abs(z))
+        np.testing.assert_allclose(np.asarray(zr), z.real, atol=2e-6 * scl)
+        np.testing.assert_allclose(np.asarray(zi), z.imag, atol=2e-6 * scl)
+
+
+def test_balanced3_factorization_properties():
+    from pyfft_tpu.ops.mxu_fft import balanced3_factorization
+    for N in [1 << 23, 1 << 12, 1000, 9 * (1 << 10), 2 * 3 * 5 * 7 * 11]:
+        fac = balanced3_factorization(N)
+        if fac is not None:
+            n1, n2, n3 = fac
+            assert n1 * n2 * n3 == N and n1 <= n2 <= n3 <= 512
+    assert balanced3_factorization(17 * 19) is None  # no 3-way split
