@@ -344,6 +344,12 @@ def main():
         "value": round(rate, 1),
         "unit": "samples/s/chip",
         "vs_baseline": round(rate / headline["base_rate"], 2),
+        # denominator of vs_baseline, so cross-round ratios stay
+        # interpretable: the reference's serial NumPy chain, measured on a
+        # 2^18-sample slice this run and scaled linearly to the bench size
+        "baseline_samples_per_s": round(headline["base_rate"], 1),
+        "baseline_what": "serial NumPy FIR+Welch chain, 2^18-sample slice, "
+                         "scaled",
     }))
 
 

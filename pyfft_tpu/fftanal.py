@@ -303,8 +303,44 @@ class fftanal(Struct):
         self.update(self.fftinfo)
 
     def stft(self):
-        """Short-time Fourier analysis (one call, batched)."""
-        self.pwelch()
+        """Short-time Fourier analysis (one call, batched).
+
+        ``useMLAB=True`` selects the independent ``scipy.signal.stft``
+        oracle with the reference's conventions (reference
+        ``fft_analysis.py:1815-1823``: ``boundary='zeros', padded=True``,
+        scipy's ``1/S1`` coefficient scaling); otherwise the batched
+        device pipeline runs.
+        """
+        if not self.useMLAB:
+            self.pwelch()
+            return
+        import scipy.signal as _dsp
+
+        onesided = bool(self.onesided)
+        if isinstance(self.onesided, str):
+            onesided = "two" not in self.onesided
+        detrend = {1: "constant", 0: False, -1: "linear"}.get(
+            self.detrendstyle, False)
+        self.freq, self.tseg, Xseg = _dsp.stft(
+            self.sigx, fs=self.Fs, window=self.win, nperseg=self.nwins,
+            noverlap=self.noverlap, nfft=self.nfft, detrend=detrend,
+            return_onesided=onesided, boundary="zeros", padded=True,
+            axis=self.axes)
+        # segment-major layout: the rest of the class treats axis 0 as the
+        # segment axis (Pstft/averagewins/crosscorr_stft).  The reference
+        # stores scipy's (nfreq, nseg) array raw, which silently makes its
+        # own averagewins average over frequency — a latent defect the
+        # SURVEY excludes from the behavior contract (SURVEY §4).
+        self.Xseg = np.moveaxis(Xseg, -1, 0)
+        if not self.nosigy:
+            _, _, Yseg = _dsp.stft(
+                self.sigy, fs=self.Fs, window=self.win, nperseg=self.nwins,
+                noverlap=self.noverlap, nfft=self.nfft, detrend=detrend,
+                return_onesided=onesided, boundary="zeros", padded=True,
+                axis=self.axes)
+            self.Yseg = np.moveaxis(Yseg, -1, 0)
+        self.Pstft()
+        self.averagewins()
 
     def pwelch(self):
         self.Xstft()

@@ -471,7 +471,9 @@ def oaconvolve(x, taps, mode="full", nfft=None):
     nfull = nx + ntaps - 1
     nfft, hop, nblocks = _os_plan(nfull, ntaps, nfft)
 
-    dtype = np.float32 if not backend_supports_complex() else np.float64
+    # widest dtype the backend actually supports (f32 unless x64 is enabled)
+    dtype = (jax.dtypes.canonicalize_dtype(np.float64)
+             if backend_supports_complex() else np.float32)
     if backend_supports_complex():
         H = np.fft.rfft(taps, n=nfft)
         y = _os_core_xla(jnp.asarray(x, dtype=dtype), jnp.asarray(H),

@@ -501,11 +501,20 @@ class HeatPulseFFT(HeatPulseBase):
             ph_i = np.zeros_like(Pxx_i)
             varph_i = np.zeros_like(Pxx_i)
             for kk in range(navr):
-                (Pxy_i[kk], Pxx_i[kk], Pyy_i[kk], Cxy_i[kk], ph_i[kk],
+                (pxy_k, pxx_k, pyy_k, cxy_k, ph_k,
                  info) = integratespectra(
                     fftinfo.freq, Pxy_seg[kk, :],
                     np.real(Pxx_seg[kk, :]),
                     np.real(Pyy_seg[kk, :]), frange)
+                Pxy_i[kk] = pxy_k
+                Pxx_i[kk] = np.real(pxx_k)
+                Pyy_i[kk] = np.real(pyy_k)
+                # integrated coherence is complex; the reference stores it
+                # into a float64 slot, implicitly discarding the imaginary
+                # part (HeatPulse_Funcs.py:470-476) — same semantics, but
+                # with the cast explicit
+                Cxy_i[kk] = np.real(cxy_k)
+                ph_i[kk] = np.real(ph_k)
                 varPxy_i[kk] = info.varPxy_i
                 varPxx_i[kk] = np.real(info.varPxx_i)
                 varPyy_i[kk] = np.real(info.varPyy_i)

@@ -87,7 +87,9 @@ def fir_filter_sharded(x, taps, mesh, *, fft_backend=None, nfft=None):
         raise ValueError(f"nch={x.shape[0]} not divisible by ch shards")
 
     backend = resolve_fft_backend(fft_backend)
-    dtype = np.float64 if backend == "xla" else np.float32
+    # widest dtype the backend actually supports (f32 unless x64 is enabled)
+    dtype = (jax.dtypes.canonicalize_dtype(np.float64)
+             if backend == "xla" else np.float32)
     # per-device overlap-save plan over B (+halo) samples
     nfft_, hop, nblocks = _os_plan(B + ntaps - 1, ntaps, nfft)
     H = np.fft.rfft(taps, n=nfft_)

@@ -96,9 +96,11 @@ def stft_sharded(x, tvec, win, plan: seg.SegmentPlan, fs, mesh, *,
     s1 = seg.get_s1(win_np)
     enbw = seg.get_enbw(fs, s1, seg.get_s2(win_np))
 
+    # widest dtype the backend actually supports (f32 unless x64 is enabled)
+    wdt = jax.dtypes.canonicalize_dtype(np.float64)
     with mesh:
         Xr, Xi, tt, gid = _stft_sharded_jit(
-            jnp.asarray(x, jnp.float64), jnp.asarray(tvec, jnp.float64),
+            jnp.asarray(x, wdt), jnp.asarray(tvec, wdt),
             jnp.asarray(win_np), jnp.asarray(s1),
             jnp.asarray(np.sqrt(enbw)), navr=plan.navr, nwins=plan.nwins,
             hop=hop, nfft=plan.nfft, nnyquist=plan.nnyquist,

@@ -106,15 +106,19 @@ def _halo_right(v, halo, axis_name):
 @partial(jax.jit, static_argnames=("navr", "nwins", "hop", "nfft", "nnyquist",
                                    "onesided", "detrend_style", "backend",
                                    "B", "M", "mesh_static", "ntmodel",
-                                   "nt_true"))
+                                   "nt_true", "cplx"))
 def _welch_sharded_jit(x, y, win, s1sq_enbw, *, navr, nwins, hop, nfft,
                        nnyquist, onesided, detrend_style, backend, B, M,
-                       mesh_static, ntmodel=False, nt_true=None):
+                       mesh_static, ntmodel=False, nt_true=None, cplx=False):
     mesh = mesh_static.mesh
 
     def step(x_l, y_l, win_l, norm_l):
         # x_l: (B_local,) time-sharded — or the replicated (nwins,) model
-        # when ntmodel (reference fft_analysis.py:170-191); y_l: (nch_l, B)
+        # when ntmodel (reference fft_analysis.py:170-191); y_l: (nch_l, B).
+        # Complex signals ride as a stacked (re, im) leading axis of size 2
+        # — x_l (2, B), y_l (nch_l, 2, B) — so no complex dtype reaches the
+        # device (the TPU backend has none); the transform consumes the
+        # pair directly (reference two-sided branch fft_analysis.py:423-427)
         y_l = _detrend_sharded(y_l, detrend_style, "t", nt_true)
 
         halo = nwins - 1
@@ -129,28 +133,33 @@ def _welch_sharded_jit(x, y, win, s1sq_enbw, *, navr, nwins, hop, nfft,
         idx = starts[:, None] + jnp.arange(nwins)[None, :]
         if ntmodel:
             from ..utils.detrend import detrend_func
-            xm = detrend_func(detrend_style)(x_l[:nwins], axis=-1)
-            xfr = jnp.broadcast_to((xm * win_l)[None], (M, nwins))
+            xm = detrend_func(detrend_style)(x_l[..., :nwins], axis=-1)
+            xfr = jnp.broadcast_to((xm * win_l)[..., None, :],
+                                   x_l.shape[:-1] + (M, nwins))
         else:
             x_l = _detrend_sharded(x_l, detrend_style, "t", nt_true)
             x_h = _halo_right(x_l, halo, "t")
-            xfr = x_h[idx] * win_l              # (M, nwins)
-        yfr = y_h[..., idx] * win_l             # (nch_l, M, nwins)
+            xfr = x_h[..., idx] * win_l         # ([2,] M, nwins)
+        yfr = y_h[..., idx] * win_l             # (nch_l, [2,] M, nwins)
 
-        if backend == "xla":
-            X = jnp.fft.fft(xfr, n=nfft, axis=-1)
-            Y = jnp.fft.fft(yfr, n=nfft, axis=-1)
-            Pxx = (X * jnp.conj(X)).real
-            Pyy = (Y * jnp.conj(Y)).real
-            Pxy_re = (Y * jnp.conj(X)).real
-            Pxy_im = (Y * jnp.conj(X)).imag
-        else:
-            Xr, Xi = mxu_fft.fft_pair(xfr, None, n=nfft, axis=-1)
-            Yr, Yi = mxu_fft.fft_pair(yfr, None, n=nfft, axis=-1)
-            Pxx = Xr * Xr + Xi * Xi
-            Pyy = Yr * Yr + Yi * Yi
-            Pxy_re = Yr * Xr + Yi * Xi
-            Pxy_im = Yi * Xr - Yr * Xi
+        def _fft(fr, lead):
+            """(re, im) spectra of real or stacked-pair frames."""
+            if cplx:
+                re, im = fr[lead + (0,)], fr[lead + (1,)]
+            else:
+                re, im = fr, None
+            if backend == "xla":
+                Z = jnp.fft.fft(re if im is None else lax.complex(re, im),
+                                n=nfft, axis=-1)
+                return jnp.real(Z), jnp.imag(Z)
+            return mxu_fft.fft_pair(re, im, n=nfft, axis=-1)
+
+        Xr, Xi = _fft(xfr, ())
+        Yr, Yi = _fft(yfr, (slice(None),))
+        Pxx = Xr * Xr + Xi * Xi
+        Pyy = Yr * Yr + Yi * Yi
+        Pxy_re = Yr * Xr + Yi * Xi              # Y conj(X), reference :393
+        Pxy_im = Yi * Xr - Yr * Xi
 
         w = valid.astype(Pxx.dtype)
         Pxx = jnp.sum(Pxx * w[:, None], axis=0)
@@ -179,9 +188,15 @@ def _welch_sharded_jit(x, y, win, s1sq_enbw, *, navr, nwins, hop, nfft,
 
         return (Pxx * norm_l, Pyy * norm_l, Pxy_re * norm_l, Pxy_im * norm_l)
 
+    if cplx:
+        x_spec = P() if ntmodel else P(None, "t")
+        y_spec = P("ch", None, "t")
+    else:
+        x_spec = P() if ntmodel else P("t")
+        y_spec = P("ch", "t")
     return shard_map(
         step, mesh,
-        in_specs=(P() if ntmodel else P("t"), P("ch", "t"), P(), P()),
+        in_specs=(x_spec, y_spec, P(), P()),
         out_specs=(P(), P("ch", None), P("ch", None), P("ch", None)),
         check_vma=False,
     )(x, y, win, 1.0 / s1sq_enbw)
@@ -213,15 +228,25 @@ def welch_psd_sharded(x, y, win, plan: seg.SegmentPlan, fs, mesh, *,
     ``x (nt,)`` is the common reference signal (time-sharded) — or, with
     ``ntmodel=True``, a one-window model replicated to every device
     (reference ``fft_analysis.py:170-191``); ``y (nch, nt)`` is channel-
-    and time-sharded.  Signals whose length is not a multiple of the time
-    shards are zero-padded (exactly compensated in the detrend moments and
-    masked out of the segment set).  Returns numpy
-    ``(freq, Pxx, Pyy, Pxy)`` with the identical normalization contract as
-    the single-device pipeline — sharded == unsharded is asserted in the
-    test-suite.
+    and time-sharded.  Complex signals are supported on both the one- and
+    two-sided paths (the Doppler IQ configuration, reference
+    ``fft_analysis.py:423-427``): they travel as stacked (re, im) real
+    pairs so no complex dtype reaches the device.  Signals whose length is
+    not a multiple of the time shards are zero-padded (exactly compensated
+    in the detrend moments and masked out of the segment set).  Returns
+    numpy ``(freq, Pxx, Pyy, Pxy)`` with the identical normalization
+    contract as the single-device pipeline — sharded == unsharded is
+    asserted in the test-suite and the driver dryrun.
     """
     x = np.asarray(x)
     y = np.atleast_2d(np.asarray(y))
+    cplx = np.iscomplexobj(x) or np.iscomplexobj(y)
+    if cplx:
+        # stacked (re, im) pairs: x (2, nt), y (nch, 2, nt)
+        x = np.stack([np.ascontiguousarray(x.real),
+                      np.ascontiguousarray(x.imag)])
+        y = np.stack([np.ascontiguousarray(y.real),
+                      np.ascontiguousarray(y.imag)], axis=1)
     win_np = np.asarray(win)
     s1 = seg.get_s1(win_np)
     enbw = seg.get_enbw(fs, s1, seg.get_s2(win_np))
@@ -233,10 +258,11 @@ def welch_psd_sharded(x, y, win, plan: seg.SegmentPlan, fs, mesh, *,
     nt = y.shape[-1]
     pad = (-nt) % dt_shards
     if pad:
-        y = np.concatenate([y, np.zeros((y.shape[0], pad), y.dtype)],
+        y = np.concatenate([y, np.zeros(y.shape[:-1] + (pad,), y.dtype)],
                            axis=-1)
         if not ntmodel:
-            x = np.concatenate([x, np.zeros(pad, x.dtype)])
+            x = np.concatenate([x, np.zeros(x.shape[:-1] + (pad,), x.dtype)],
+                               axis=-1)
     B, M = plan_shard_segments(nt + pad, plan.nwins, plan.hop, plan.navr,
                                dt_shards)
 
@@ -249,8 +275,12 @@ def welch_psd_sharded(x, y, win, plan: seg.SegmentPlan, fs, mesh, *,
                                                 lambda idx: arr[idx])
         return jax.device_put(arr, sh)
 
-    xs = _put(x, P() if ntmodel else P("t"))
-    ys = _put(y, P("ch", "t"))
+    if cplx:
+        xs = _put(x, P() if ntmodel else P(None, "t"))
+        ys = _put(y, P("ch", None, "t"))
+    else:
+        xs = _put(x, P() if ntmodel else P("t"))
+        ys = _put(y, P("ch", "t"))
     wd = jnp.asarray(win_np, dtype=xs.dtype)
 
     Pxx, Pyy, Pxy_re, Pxy_im = _welch_sharded_jit(
@@ -260,7 +290,7 @@ def welch_psd_sharded(x, y, win, plan: seg.SegmentPlan, fs, mesh, *,
         detrend_style=int(detrend_style),
         backend=resolve_fft_backend(fft_backend), B=B, M=M,
         mesh_static=_MeshBox(mesh), ntmodel=bool(ntmodel),
-        nt_true=int(nt))
+        nt_true=int(nt), cplx=cplx)
 
     freq = np.fft.fftfreq(plan.nfft, 1.0 / fs)
     freq = freq[:plan.nnyquist] if onesided else np.fft.fftshift(freq)

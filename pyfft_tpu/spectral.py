@@ -79,13 +79,48 @@ def resolve_fft_backend(fft_backend=None) -> str:
 # Output schema (reference fft_analysis.py:796-828)
 # --------------------------------------------------------------------------- #
 
+_SEGMENT_FIELDS = ("Pxx_seg", "Pyy_seg", "Pxy_seg", "Xfft_seg", "Yfft_seg",
+                   "phixy_seg", "varphi_seg")
+
+
 class fftinfosc(Struct):
     """Result container with the reference's output schema.
 
     Field list mirrors reference ``fftinfosc`` (``fft_analysis.py:796-828``):
     window norms (S1, S2, NENBW, ENBW), averaged spectra, coherence/phase with
     propagated variances, linear amplitude spectra, and per-segment arrays.
+
+    The fused-Pallas and mesh-sharded fast paths do not materialize the
+    per-segment arrays (``Pxx_seg``/``Xfft_seg``/…, reference
+    ``fft_analysis.py:391-393``) during the hot dispatch; instead the first
+    attribute access transparently recomputes them with the generic batched
+    backend (one extra device pass over the retained inputs), so reference
+    code consuming ``fftinfo.Pxx_seg`` keeps working.
     """
+
+    def _defer_segments(self, fill):
+        """Arm lazy per-segment computation: drop the fields and install a
+        one-shot ``fill(info)`` callback run on first access."""
+        for f in _SEGMENT_FIELDS:
+            self.__dict__.pop(f, None)
+        self.__dict__["_lazy_segments"] = fill
+
+    def __getattr__(self, name):
+        # only reached when ``name`` is NOT in the instance dict
+        if name in _SEGMENT_FIELDS:
+            fill = self.__dict__.pop("_lazy_segments", None)
+            if fill is not None:
+                fill(self)
+                return self.__dict__[name]
+            raise AttributeError(
+                f"fftinfo.{name} is not available: this result came from a "
+                "fast path (fused-Pallas or mesh-sharded Welch) that does "
+                "not keep per-segment arrays, and the inputs were not "
+                "retained for recomputation.  Re-run fft_pwelch with "
+                "fft_backend='mxu' (TPU) or 'xla' (CPU/GPU) to populate "
+                "them.")
+        raise AttributeError(
+            f"{type(self).__name__!s} object has no attribute {name!r}")
 
     def __init__(self):
         self.S1 = None
@@ -433,6 +468,27 @@ def _run_welch_core(x_in, y_in, win, s1sq_enbw, *, backend, **static):
     return res
 
 
+def _make_segment_fill(x_in, y_in, win, s1sq_enbw, **static):
+    """One-shot per-segment recompute for the fast paths (lazy fill).
+
+    Runs the generic batched core (which always materializes the
+    reference's ``P??_seg``/``?fft_seg`` arrays, ``fft_analysis.py:391-393``)
+    over the retained inputs and writes the fields into ``info``.
+    """
+    def fill(info):
+        backend = "xla" if backend_supports_complex() else "mxu"
+        out = _run_welch_core(x_in, y_in, win, s1sq_enbw, backend=backend,
+                              **static)
+        info.Pxx_seg = out["Pxx_seg"]
+        info.Pyy_seg = out["Pyy_seg"]
+        info.Pxy_seg = out["Pxy_seg"]
+        info.Xfft_seg = out["Xfft_seg"]
+        info.Yfft_seg = out["Yfft_seg"]
+        info.phixy_seg = np.angle(out["Pxy_seg"])
+        info.varphi_seg = np.zeros_like(info.phixy_seg)
+    return fill
+
+
 def welch_cross_spectra(x, y, win, plan: seg.SegmentPlan, fs: float, *,
                         onesided=True, detrend_style=1, ntmodel=False,
                         fft_backend=None):
@@ -602,8 +658,10 @@ def fft_pwelch(tvec, sigx, sigy, tbounds=None, Navr=None, windowoverlap=None,
     device) — runs the Welch averaging distributed: time axis sharded
     with ppermute halo exchange, channels data-parallel, psum averages
     (SURVEY §2.3).  The reflect-extension and ``nTmodel`` semantics are
-    preserved; per-segment arrays (``fftinfo.Pxx_seg`` etc.) are not
-    populated on this path.  Real-valued signals only.
+    preserved; per-segment arrays (``fftinfo.Pxx_seg`` etc.) are computed
+    lazily on first access (one extra single-device pass).  Complex
+    signals run two-sided as stacked (re, im) pairs (the Doppler IQ
+    configuration, reference ``fft_analysis.py:423-427``).
 
     Returns ``(freq, Pxy, Pxx, Pyy, Cxy, phi_xy, fftinfo)``.
 
@@ -753,9 +811,6 @@ def fft_pwelch(tvec, sigx, sigy, tbounds=None, Navr=None, windowoverlap=None,
         # distributed path: time-sharded halo-exchange Welch over a device
         # mesh; identical normalization contract as the single-device core
         from . import parallel as par
-        if np.iscomplexobj(x_in) or np.iscomplexobj(y_in):
-            raise ValueError("fft_pwelch(mesh=...) supports real signals; "
-                             "run complex/two-sided inputs single-device")
         if mesh == "auto":
             import jax as _jax
             mesh = par.make_mesh(ch=1, t=len(_jax.devices()))
@@ -772,8 +827,11 @@ def fft_pwelch(tvec, sigx, sigy, tbounds=None, Navr=None, windowoverlap=None,
             ntmodel=bool(nTmodel))
         Pyy = Pyy_s.T
         Pxy = Pxy_s.T
-        fftinfo.Pxx_seg = fftinfo.Pyy_seg = fftinfo.Pxy_seg = None
-        fftinfo.Xfft_seg = fftinfo.Yfft_seg = None
+        fftinfo._defer_segments(_make_segment_fill(
+            x_in, y_in, win, fftinfo.S1 ** 2 * fftinfo.ENBW,
+            navr=int(Navr), nwins=int(nwins), noverlap=int(noverlap),
+            nfft=int(nfft), nnyquist=int(Nnyquist), onesided=bool(onesided),
+            detrend_style=int(detrend_style), ntmodel=bool(nTmodel)))
     else:
         if verbose:
             print("using the batched device Welch pipeline "
@@ -792,12 +850,20 @@ def fft_pwelch(tvec, sigx, sigy, tbounds=None, Navr=None, windowoverlap=None,
         Pyy = out["Pyy"]
         Pxy = out["Pxy"]
 
-        fftinfo.Pxx_seg = out["Pxx_seg"]
-        fftinfo.Pyy_seg = out["Pyy_seg"]
-        fftinfo.Pxy_seg = out["Pxy_seg"]
-        fftinfo.Xfft_seg = out["Xfft_seg"]
-        fftinfo.Yfft_seg = out["Yfft_seg"]
-        if out["Pxy_seg"] is not None:
+        if out["Pxy_seg"] is None:
+            # fused fast path: per-segment arrays on first access
+            fftinfo._defer_segments(_make_segment_fill(
+                x_in, y_in, win, fftinfo.S1 ** 2 * fftinfo.ENBW,
+                navr=int(Navr), nwins=int(nwins), noverlap=int(noverlap),
+                nfft=int(nfft), nnyquist=int(Nnyquist),
+                onesided=bool(onesided), detrend_style=int(detrend_style),
+                ntmodel=bool(nTmodel)))
+        else:
+            fftinfo.Pxx_seg = out["Pxx_seg"]
+            fftinfo.Pyy_seg = out["Pyy_seg"]
+            fftinfo.Pxy_seg = out["Pxy_seg"]
+            fftinfo.Xfft_seg = out["Xfft_seg"]
+            fftinfo.Yfft_seg = out["Yfft_seg"]
             fftinfo.phixy_seg = np.angle(out["Pxy_seg"])
             fftinfo.varphi_seg = np.zeros_like(fftinfo.phixy_seg)
 

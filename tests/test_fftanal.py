@@ -192,3 +192,39 @@ def test_stft_segments_pallas_fast_path_matches_xla():
                                    rtol=1e-4, atol=1e-5 * s)
         np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
                                    rtol=1e-5, atol=1e-9)
+
+
+def test_stft_useMLAB_scipy_oracle_branch():
+    """fftanal.stft(useMLAB=True) must route through the independent
+    scipy.signal.stft oracle with the reference's boundary conventions
+    (reference fft_analysis.py:1815-1823) — pinned bit-for-bit against a
+    direct scipy call — and still produce the averaged-spectra schema."""
+    import scipy.signal as dsp
+    from pyfft_tpu.fftanal import fftanal
+
+    rng = np.random.default_rng(3)
+    fs, nt = 1e3, 1 << 12
+    t = np.arange(nt) / fs
+    x = np.sin(2 * np.pi * 60 * t) + 0.1 * rng.standard_normal(nt)
+    y = np.sin(2 * np.pi * 60 * t + 0.7) + 0.1 * rng.standard_normal(nt)
+
+    ft = fftanal(t, x, y, Navr=8, useMLAB=True, plotit=False, verbose=False)
+    ft.stft()
+
+    f2, t2, Z = dsp.stft(x, fs=ft.Fs, window=ft.win, nperseg=ft.nwins,
+                         noverlap=ft.noverlap, nfft=ft.nfft,
+                         detrend="constant", return_onesided=True,
+                         boundary="zeros", padded=True)
+    np.testing.assert_allclose(np.asarray(ft.freq), f2, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ft.tseg), t2, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(ft.Xseg), Z.T)
+    # schema: averaged spectra over the SEGMENT axis, coherence in [0, 1]
+    assert ft.Xseg.shape == (len(t2), len(f2))
+    np.testing.assert_allclose(np.asarray(ft.Pxx),
+                               np.mean(np.abs(Z.T) ** 2, axis=0), rtol=1e-12)
+    assert np.all(np.real(ft.Cxy2) <= 1.0 + 1e-9)
+    # the flag actually selects a different implementation than pwelch()
+    ft2 = fftanal(t, x, y, Navr=8, useMLAB=False, plotit=False,
+                  verbose=False)
+    ft2.stft()
+    assert ft2.Xseg.shape[0] != ft.Xseg.shape[0]  # zeros-boundary segments

@@ -311,14 +311,19 @@ def test_fused_kernel_random_geometry_fuzz(seed):
     from pyfft_tpu.ops.pallas_welch3 import pallas_welch3_applicable
     from pyfft_tpu.filters import firwin
     rng = np.random.default_rng(100 + seed)
-    R = int(rng.choice([2, 4, 8, 16, 32]))
-    nwins = 128 * R
-    hop = 128 * int(rng.integers(max(R // 2, 1), R + 1))
-    nov = nwins - hop
-    nch = int(rng.integers(0, 4))
-    detrend = int(rng.choice([0, 1]))
-    if not pallas_welch3_applicable(nwins, nov, 8, max(nch, 1), detrend):
-        pytest.skip("geometry outside kernel domain")
+    # rejection-sample a random LEGAL geometry (deterministic per seed);
+    # out-of-domain shapes have their own explicit applicability test below
+    for _ in range(64):
+        R = int(rng.choice([2, 4, 8, 16, 32]))
+        nwins = 128 * R
+        hop = 128 * int(rng.integers(max(R // 2, 1), R + 1))
+        nov = nwins - hop
+        nch = int(rng.integers(0, 4))
+        detrend = int(rng.choice([0, 1]))
+        if pallas_welch3_applicable(nwins, nov, 8, max(nch, 1), detrend):
+            break
+    else:  # pragma: no cover - 64 straight rejections would be a regression
+        raise AssertionError("no legal geometry found in 64 draws")
     navr_want = int(rng.integers(3, 40))
     nt = nov + navr_want * hop + int(rng.integers(0, 300))
     navr = (nt - nov) // hop
@@ -342,6 +347,23 @@ def test_fused_kernel_random_geometry_fuzz(seed):
                                    rtol=2e-5, atol=3e-5 * scl)
         np.testing.assert_allclose(np.asarray(Pr) + 1j * np.asarray(Pi),
                                    PxyN[:, :nf], rtol=2e-5, atol=3e-5 * scl)
+
+
+def test_v3_applicability_rejects_out_of_domain_shapes():
+    """Shapes the kernel must NOT claim: the fuzz test above only samples
+    legal geometries, so pin the rejection logic explicitly here (a future
+    applicability regression cannot hide in an expected skip)."""
+    from pyfft_tpu.ops.pallas_welch3 import pallas_welch3_applicable
+    # R=32 with hr=17: blk = 4*17 = 68 not a multiple of max(R, 8) = 32
+    assert not pallas_welch3_applicable(4096, 4096 - 128 * 17, 8, 1)
+    # lane-unaligned hop
+    assert not pallas_welch3_applicable(512, 200, 8, 1)
+    # lane-unaligned nwins
+    assert not pallas_welch3_applicable(500, 250, 8, 1)
+    # channel count past the VMEM budget (nch + 1 > 16)
+    assert not pallas_welch3_applicable(512, 256, 8, 16)
+    # linear detrend is outside the kernel's domain
+    assert not pallas_welch3_applicable(512, 256, 8, 1, detrend_style=-1)
 
 
 @pytest.mark.parametrize("nwins,nov,nt,ntaps,det", [

@@ -181,7 +181,13 @@ def test_fft_pwelch_mesh_matches_single_device(tsh):
     np.testing.assert_allclose(Pyy2, Pyy1, rtol=1e-8, atol=1e-12)
     np.testing.assert_allclose(Pxy2, Pxy1, rtol=1e-8, atol=1e-12)
     np.testing.assert_allclose(phi2, phi1, rtol=1e-6, atol=1e-8)
-    assert info2.Pxx_seg is None        # documented: no per-segment arrays
+    # per-segment arrays are lazy on the mesh path: first touch recomputes
+    # them on the generic single-device backend and must match the eager run
+    assert "Pxx_seg" not in info2.__dict__
+    np.testing.assert_allclose(np.asarray(info2.Pxx_seg),
+                               np.asarray(info1.Pxx_seg),
+                               rtol=1e-8, atol=1e-12)
+    assert "Xfft_seg" in info2.__dict__  # fill populated every field
 
 
 @needs8
@@ -218,11 +224,56 @@ def test_fft_pwelch_mesh_ntmodel():
     np.testing.assert_allclose(r2[1], r1[1], rtol=1e-8, atol=1e-12)
 
 
+def _iq_sigs(nt=4096, nch=2, seed=9):
+    """Complex IQ-style signals (the Doppler configuration)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(nt) / 1e3
+    z = (np.exp(1j * 2 * np.pi * 83.0 * t)
+         + 0.1 * (rng.standard_normal(nt) + 1j * rng.standard_normal(nt)))
+    y = (np.exp(1j * (2 * np.pi * 83.0 * t - 0.4))[None, :]
+         * (1.0 + np.arange(nch))[:, None]
+         + 0.1 * (rng.standard_normal((nch, nt))
+                  + 1j * rng.standard_normal((nch, nt))))
+    return t, z, y
+
+
 @needs8
-def test_fft_pwelch_mesh_rejects_complex():
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+@pytest.mark.parametrize("backend", ["xla", "mxu"])
+def test_sharded_welch_complex_twosided(mesh_shape, backend):
+    """Complex signals on the distributed path (stacked re/im pairs) must
+    reproduce the single-device two-sided spectra — the sharded analogue
+    of the reference's complex branch (fft_analysis.py:423-427)."""
+    ch, tsh = mesh_shape
+    t, z, y = _iq_sigs()
+    mesh = par.make_mesh(ch=ch, t=tsh)
+    plan = seg.plan_segments(len(z), navr=48, windowoverlap=0.5)
+    win = np.hanning(plan.nwins + 1)[:-1]
+    freq, Pxx, Pyy, Pxy = par.welch_psd_sharded(
+        z, y, win, plan, 1e3, mesh, onesided=False, detrend_style=1,
+        fft_backend=backend)
+    ref = welch_cross_spectra(z, y, win, plan, 1e3, onesided=False,
+                              detrend_style=1, fft_backend="xla")
+    tol = dict(rtol=1e-8, atol=1e-12) if backend == "xla" else \
+        dict(rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(freq, np.asarray(ref["freq"]), atol=1e-12)
+    np.testing.assert_allclose(Pxx, np.asarray(ref["Pxx"]).real, **tol)
+    np.testing.assert_allclose(Pyy.T, np.asarray(ref["Pyy"]).real, **tol)
+    np.testing.assert_allclose(Pxy.T, np.asarray(ref["Pxy"]), **tol)
+
+
+@needs8
+def test_fft_pwelch_mesh_complex_matches_single_device():
+    """The public API with a mesh on complex input (defaults to two-sided)
+    — config 5's 'channels sharded across hosts' Doppler-IQ intent."""
     from pyfft_tpu.spectral import fft_pwelch
-    t, x, y = _sigs(nt=2048)
-    mesh = par.make_mesh(ch=1, t=8)
-    with pytest.raises(ValueError, match="real signals"):
-        fft_pwelch(t, x + 1j * y[0], y[0] + 0j, Navr=8, plotit=False,
-                   verbose=False, mesh=mesh)
+    t, z, y = _iq_sigs(nt=5000)         # odd length: exercises shard padding
+    mesh = par.make_mesh(ch=2, t=4)
+    r1 = fft_pwelch(t, z, y, Navr=16, plotit=False, verbose=False)
+    r2 = fft_pwelch(t, z, y, Navr=16, plotit=False, verbose=False,
+                    mesh=mesh)
+    np.testing.assert_allclose(r2[0], r1[0], atol=1e-12)            # freq
+    np.testing.assert_allclose(r2[2], r1[2], rtol=1e-8, atol=1e-12)  # Pxx
+    np.testing.assert_allclose(r2[3], r1[3], rtol=1e-8, atol=1e-12)  # Pyy
+    np.testing.assert_allclose(r2[1], r1[1], rtol=1e-8, atol=1e-12)  # Pxy
+    np.testing.assert_allclose(r2[5], r1[5], rtol=1e-6, atol=1e-8)   # phase

@@ -270,3 +270,42 @@ def test_welch_filtered_cross_spectra_paths_agree():
     np.testing.assert_allclose(np.asarray(a["Pxy"]), np.asarray(b["Pxy"]),
                                rtol=2e-4, atol=2e-5 * s)
     assert a["freq"][0] == 0.0 and a["Pxx"].shape == b["Pxx"].shape
+
+
+def test_fft_pwelch_pallas_fastpath_lazy_segments():
+    """The fused-Pallas fast path materializes per-segment arrays lazily:
+    nothing in the info dict after the call, and the first touch recomputes
+    them on the generic backend, matching the eager (xla) run (reference
+    contract fft_analysis.py:391-393, fftinfosc schema :796-828)."""
+    from pyfft_tpu.spectral import fft_pwelch
+    rng = np.random.default_rng(0)
+    fs, nt = 1e3, 1 << 14
+    t = np.arange(nt) / fs
+    x = np.sin(2 * np.pi * 97.0 * t) + 0.1 * rng.standard_normal(nt)
+    y = np.sin(2 * np.pi * 97.0 * t - 0.5) + 0.1 * rng.standard_normal(nt)
+    kw = dict(tper=0.512, windowoverlap=0.5, plotit=False, verbose=False)
+    rp = fft_pwelch(t, x, y, fft_backend="pallas", **kw)
+    rx = fft_pwelch(t, x, y, fft_backend="xla", **kw)
+    info_p, info_x = rp[6], rx[6]
+    assert "Pxx_seg" not in info_p.__dict__       # fast path kept it lazy
+    seg_p = np.asarray(info_p.Pxx_seg)            # first touch -> recompute
+    np.testing.assert_allclose(seg_p, np.asarray(info_x.Pxx_seg),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(info_p.Xfft_seg),
+                               np.asarray(info_x.Xfft_seg),
+                               rtol=1e-9, atol=1e-12)
+    assert info_p.phixy_seg.shape == info_x.phixy_seg.shape
+
+
+def test_fftinfosc_segment_contract():
+    """Standalone container keeps the reference's None defaults; a deferred
+    container without a retained recompute raises an actionable error."""
+    from pyfft_tpu.spectral import fftinfosc
+    info = fftinfosc()
+    assert info.Pxx_seg is None                   # reference parity
+    info2 = fftinfosc()
+    info2._defer_segments(None)
+    with pytest.raises(AttributeError, match="fft_backend='mxu'"):
+        _ = info2.Pxy_seg
+    with pytest.raises(AttributeError):
+        _ = info2.not_a_field
