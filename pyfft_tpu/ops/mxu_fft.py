@@ -89,19 +89,29 @@ def good_leaf_factorization(N: int, leaf: int = _DEF_LEAF):
 def balanced3_factorization(N: int, maxf: int = 512):
     """Three factors ``n1 <= n2 <= n3 <= maxf`` with ``n1*n2*n3 == N``,
     minimizing ``n1+n2+n3`` (the matmul cost of a depth-3 contraction
-    chain).  Returns ``None`` when no such split exists."""
+    chain).  Returns ``None`` when no such split exists.
+
+    Per ``n1``, the optimal ordered pair is the *largest* divisor
+    ``n2 <= sqrt(N/n1)`` with ``n2 >= n1``: for a fixed product, the sum
+    ``n2 + n3`` shrinks and the max factor ``n3`` shrinks as ``n2`` grows,
+    so that pair simultaneously minimizes the cost and is the most likely
+    to satisfy ``n3 <= maxf`` (if it violates ``maxf``, every ordered pair
+    for this ``n1`` does).
+    """
+    from math import isqrt
     best = None
-    top = min(maxf, int(round(N ** (1.0 / 3.0))) + 1)
-    for n1 in range(2, top + 1):
-        if N % n1:
-            continue
-        pair = good_leaf_factorization(N // n1, maxf)
-        if pair is None or pair[1] > maxf or pair[0] < n1:
-            continue
-        n2, n3 = pair
-        cost = n1 + n2 + n3
-        if best is None or cost < best[0]:
-            best = (cost, (n1, n2, n3))
+    n1 = 2
+    while n1 * n1 * n1 <= N and n1 <= maxf:
+        if N % n1 == 0:
+            M = N // n1
+            d = isqrt(M)
+            while d >= n1 and M % d:
+                d -= 1
+            if d >= n1 and M // d <= maxf:
+                cost = n1 + d + M // d
+                if best is None or cost < best[0]:
+                    best = (cost, (n1, d, M // d))
+        n1 += 1
     return best[1] if best else None
 
 

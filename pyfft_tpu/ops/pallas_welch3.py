@@ -541,7 +541,13 @@ def _v3_pipeline(x, y, norm, vrow=None, *, navr, nwins, noverlap, taps_key,
     if vmask:
         # packed virtual channels: the mrow operand carries per-lane
         # valid-segment counts instead (detrend is pre-applied by the
-        # packer, so the slot is free)
+        # packer, so the slot is free).  Only the fused lane-aligned
+        # branch interprets the slot this way — the padded fallback's
+        # kernel would subtract the counts as a channel mean.
+        if nt % _LANES:
+            raise ValueError(
+                f"vmask requires a lane-aligned signal (nt={nt} % "
+                f"{_LANES} != 0); the packer always produces one")
         m_row = jnp.asarray(vrow, jnp.float32).reshape(1, N)
 
     # the banded-matmul FIR writes the (nrows, C*128) row-major layout

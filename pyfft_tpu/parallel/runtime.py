@@ -23,7 +23,7 @@ import jax
 from jax.sharding import Mesh
 
 __all__ = ["init_distributed", "make_host_mesh", "scaling_report",
-           "measure_scaling"]
+           "measure_scaling", "audit_collectives", "project_scaling"]
 
 _initialized = False
 
@@ -129,3 +129,164 @@ def measure_scaling(nt=1 << 20, nch=4, nwins=1024, iters=5, shard_counts=None,
         ideal = base["samples_per_s"] * (r["t_shards"] / base["t_shards"])
         r["efficiency"] = round(r["samples_per_s"] / ideal, 3)
     return rows
+
+
+# --------------------------------------------------------------------------- #
+# HLO collective audit + projected multi-host scaling (BASELINE >=85%@2 hosts)
+# --------------------------------------------------------------------------- #
+
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+                "s64": 8, "u64": 8, "s8": 1, "u8": 1, "pred": 1,
+                "c64": 8, "c128": 16}
+
+
+def audit_collectives(compiled_text):
+    """Parse post-SPMD compiled HLO for collective ops and payload bytes.
+
+    Returns rows ``{'op', 'shapes', 'bytes'}`` — the per-device payload of
+    each collective taken from its result shape(s).  This is the auditable
+    ground truth for the scaling projection: the byte volumes come from the
+    compiler's own partitioned module, not from a hand model.
+    """
+    import re
+    rows = []
+    pat = re.compile(
+        r"=\s*([^=]*?)\s*"
+        r"(all-reduce|collective-permute|all-to-all|all-gather|"
+        r"reduce-scatter)\(")
+    shape_pat = re.compile(r"\b([a-z]+\d+|pred)\[([\d,]*)\]")
+    for line in compiled_text.splitlines():
+        m = pat.search(line)
+        if not m:
+            continue
+        nbytes, desc = 0, []
+        for dt, dims in shape_pat.findall(m.group(1)):
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            nbytes += n * _DTYPE_BYTES.get(dt, 4)
+            desc.append(f"{dt}[{dims}]")
+        rows.append({"op": m.group(2), "shapes": desc, "bytes": int(nbytes)})
+    return rows
+
+
+def project_scaling(nt=1 << 24, nch=8, nwins=4096, windowoverlap=0.5,
+                    ntaps=129, hosts=2, chips_per_host=4,
+                    per_chip_samples_per_s=None, kind="v5e",
+                    fft_backend="mxu"):
+    """Projected ``hosts``-host scaling efficiency for the Welch+FIR chain.
+
+    Hardware with more than one chip is not reachable in this environment,
+    so the BASELINE ">=85% efficiency at 2 hosts" target is made *auditable*
+    instead of measured: the sharded steps are compiled over a
+    ``hosts*chips_per_host``-device mesh, every collective op and its byte
+    volume is extracted from the partitioned HLO (:func:`audit_collectives`),
+    and the communication time is modeled against the book link bandwidths
+    (:func:`pyfft_tpu.utils.profiling.interconnect_peaks`):
+
+    - ``collective-permute`` (segment/FIR halo): all neighbor pairs transfer
+      in parallel; the host-boundary pair rides DCN and sets the critical
+      path -> ``t = bytes / BW_dcn``;
+    - ``all-reduce`` (Welch psum): hierarchical ring — intra-host reduce +
+      broadcast over ICI (``2 B (L-1)/L / BW_ici``) plus the inter-host
+      exchange over DCN (``2 B (H-1)/H / BW_dcn``);
+    - compute time per chip from the *measured* single-chip throughput
+      (``per_chip_samples_per_s``; defaults to the BENCH_FULL headline).
+
+    Efficiency bounds: ``no_overlap = Tc / (Tc + sum(Tcomm))`` (every
+    collective exposed) and ``overlapped = Tc / max(Tc, Tcomm)`` (XLA hides
+    communication behind compute).  Returns the full model as a dict so
+    BASELINE.md can state it reproducibly.
+    """
+    import jax as _jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from .. import segmentation as seg
+    from ..utils.profiling import interconnect_peaks
+    from .mesh import make_mesh
+    from .welch import _welch_sharded_jit, _MeshBox, plan_shard_segments
+    from .fir import _fir_sharded_jit
+    from ..filters import _os_plan
+
+    ndev = hosts * chips_per_host
+    if len(_jax.devices()) < ndev:
+        raise RuntimeError(
+            f"projection needs {ndev} (virtual) devices; run under "
+            f"JAX_PLATFORMS=cpu with xla_force_host_platform_device_count")
+    if per_chip_samples_per_s is None:
+        import json
+        import os
+        here = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        per_chip_samples_per_s = 1.0e10
+        try:
+            with open(os.path.join(here, "BENCH_FULL.json")) as f:
+                for row in json.load(f):
+                    if row.get("config") == 0:
+                        per_chip_samples_per_s = row["samples_per_s"]
+        except Exception:
+            pass
+
+    mesh = make_mesh(ch=1, t=ndev, devices=_jax.devices()[:ndev])
+    plan = seg.plan_segments(nt, nwins=nwins, windowoverlap=windowoverlap)
+    win = np.hanning(nwins + 1)[:-1].astype(np.float32)
+    B, M = plan_shard_segments(nt, plan.nwins, plan.hop, plan.navr, ndev)
+
+    xs = _jax.device_put(jnp.zeros(nt, jnp.float32),
+                         NamedSharding(mesh, P("t")))
+    ys = _jax.device_put(jnp.zeros((nch, nt), jnp.float32),
+                         NamedSharding(mesh, P(None, "t")))
+    welch_txt = _welch_sharded_jit.lower(
+        xs, ys, jnp.asarray(win), jnp.float32(1.0), navr=plan.navr,
+        nwins=plan.nwins, hop=plan.hop, nfft=plan.nfft,
+        nnyquist=plan.nnyquist, onesided=True, detrend_style=1,
+        backend=fft_backend, B=B, M=M, mesh_static=_MeshBox(mesh),
+        ntmodel=False, nt_true=nt, cplx=False).compile().as_text()
+
+    nfft_os, hop_os, nblocks = _os_plan(nt // ndev + ntaps - 1, ntaps, None)
+    H = np.zeros(nfft_os // 2 + 1, np.complex128)
+    ysf = _jax.device_put(jnp.zeros((nch, nt), jnp.float32),
+                          NamedSharding(mesh, P(None, "t")))
+    fir_txt = _fir_sharded_jit.lower(
+        ysf, jnp.asarray(H.real, jnp.float32), jnp.asarray(H.imag,
+                                                           jnp.float32),
+        ntaps=ntaps, nfft=nfft_os, hop=hop_os, nblocks=nblocks,
+        backend=fft_backend, mesh_static=_MeshBox(mesh)).compile().as_text()
+
+    rows = audit_collectives(welch_txt) + audit_collectives(fir_txt)
+    ici, dcn = interconnect_peaks(kind)
+
+    halo_bytes = sum(r["bytes"] for r in rows if r["op"] ==
+                     "collective-permute")
+    psum_bytes = sum(r["bytes"] for r in rows if r["op"] == "all-reduce")
+    other_bytes = sum(r["bytes"] for r in rows
+                      if r["op"] not in ("collective-permute", "all-reduce"))
+
+    L, Hn = chips_per_host, hosts
+    t_halo = halo_bytes / (dcn * 1e9)
+    t_psum = (2 * psum_bytes * (L - 1) / L / (ici * 1e9)
+              + 2 * psum_bytes * (Hn - 1) / Hn / (dcn * 1e9))
+    t_other = other_bytes / (dcn * 1e9)
+    t_comm = t_halo + t_psum + t_other
+    t_compute = (nch * nt / ndev) / per_chip_samples_per_s
+
+    return {
+        "workload": {"nt": nt, "nch": nch, "nwins": nwins,
+                     "noverlap": plan.noverlap, "navr": plan.navr,
+                     "ntaps": ntaps},
+        "mesh": {"hosts": hosts, "chips_per_host": chips_per_host,
+                 "t_shards": ndev},
+        "collectives": rows,
+        "bytes": {"halo_ppermute": halo_bytes, "psum_allreduce": psum_bytes,
+                  "other": other_bytes},
+        "link_gbs": {"ici_per_link": ici, "dcn_per_host": dcn,
+                     "kind": kind},
+        "times_s": {"compute_per_chip": t_compute, "halo": t_halo,
+                    "psum": t_psum, "other": t_other, "comm_total": t_comm},
+        "per_chip_samples_per_s": per_chip_samples_per_s,
+        "efficiency": {
+            "no_overlap": t_compute / (t_compute + t_comm),
+            "overlapped": t_compute / max(t_compute, t_comm),
+        },
+    }

@@ -118,6 +118,32 @@ def device_peaks(kind=None):
     return _PEAKS[kind]
 
 
+# Interconnect book values: (ICI one-way GB/s per link, DCN GB/s per host).
+# ICI from the public per-generation specs (v5e 2-D torus, 45 GB/s/link
+# one-way; v5p 3-D torus, 90 GB/s/link); DCN assumes a 100 Gbps host NIC —
+# conservative for projection purposes.
+_LINK_PEAKS = {
+    "v5e": (45.0, 12.5),
+    "v5p": (90.0, 12.5),
+    "v4": (45.0, 12.5),
+    "cpu": (10.0, 10.0),
+}
+
+
+def interconnect_peaks(kind=None):
+    """(ICI one-way GB/s per link, DCN GB/s per host) for ``kind`` (defaults
+    to the current device family; virtual CPU meshes project as 'v5e'
+    because that is the hardware the framework targets)."""
+    if kind is None:
+        dev = jax.devices()[0]
+        kind = getattr(dev, "device_kind", "cpu").lower()
+        for key in _LINK_PEAKS:
+            if key in kind:
+                return _LINK_PEAKS[key]
+        return _LINK_PEAKS["v5e"]
+    return _LINK_PEAKS[kind]
+
+
 def roofline(flops, bytes_moved, wall_s, kind=None, unit="matmul"):
     """Achieved fraction of the device's compute/memory roofline.
 

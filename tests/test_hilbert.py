@@ -98,6 +98,28 @@ def test_analytic_factored_matches_scipy():
         np.testing.assert_allclose(np.asarray(zi), z.imag, atol=2e-6 * scl)
 
 
+def test_analytic_factored_bf16x3_precision_tier():
+    """The precision tier actually dispatched on-chip
+    (resolve_kernel_precision(None) == 'bf16x3', lax.Precision.HIGH) must
+    hold a stated accuracy contract too — on CPU the tier lowers to f32
+    matmuls, which still pins the contraction-chain structure."""
+    import jax.numpy as jnp
+    from scipy.signal import hilbert as sp_hilbert
+    from pyfft_tpu.hilbert import _analytic_factored
+    from pyfft_tpu.ops.mxu_fft import balanced3_factorization
+    rng = np.random.default_rng(5)
+    nfft = 1 << 12
+    fac = balanced3_factorization(nfft)
+    x = rng.standard_normal(nfft).astype(np.float32)
+    zr, zi = _analytic_factored(jnp.asarray(x), nfft=nfft, factors=fac,
+                                prec="bf16x3")
+    z = sp_hilbert(np.float64(x))
+    scl = np.max(np.abs(z))
+    # bf16x3 compensated products: ~f32-grade, give it 30x the f32 budget
+    np.testing.assert_allclose(np.asarray(zr), z.real, atol=6e-5 * scl)
+    np.testing.assert_allclose(np.asarray(zi), z.imag, atol=6e-5 * scl)
+
+
 def test_balanced3_factorization_properties():
     from pyfft_tpu.ops.mxu_fft import balanced3_factorization
     for N in [1 << 23, 1 << 12, 1000, 9 * (1 << 10), 2 * 3 * 5 * 7 * 11]:
@@ -106,3 +128,35 @@ def test_balanced3_factorization_properties():
             n1, n2, n3 = fac
             assert n1 * n2 * n3 == N and n1 <= n2 <= n3 <= 512
     assert balanced3_factorization(17 * 19) is None  # no 3-way split
+
+
+def test_balanced3_factorization_minimal_vs_bruteforce():
+    """The factorizer must find the MINIMAL-cost valid triple whenever one
+    exists (the sqrt-closest-pair shortcut used to miss splits whose
+    balanced pair broke the maxf or ordering constraint)."""
+    from pyfft_tpu.ops.mxu_fft import balanced3_factorization
+
+    def brute(N, maxf=512):
+        best = None
+        for a in range(2, maxf + 1):
+            if N % a:
+                continue
+            for b in range(a, maxf + 1):
+                if (N // a) % b:
+                    continue
+                c = N // a // b
+                if b <= c <= maxf:
+                    s = a + b + c
+                    if best is None or s < best[0]:
+                        best = (s, (a, b, c))
+        return best[1] if best else None
+
+    rng = np.random.default_rng(11)
+    for N in list(range(8, 600)) + [int(rng.integers(1 << 10, 1 << 21))
+                                    for _ in range(60)]:
+        g = balanced3_factorization(N)
+        b = brute(N)
+        assert (g is None) == (b is None), N
+        if g is not None:
+            assert sum(g) == sum(b), (N, g, b)
+            assert np.prod(g) == N

@@ -277,3 +277,27 @@ def test_fft_pwelch_mesh_complex_matches_single_device():
     np.testing.assert_allclose(r2[3], r1[3], rtol=1e-8, atol=1e-12)  # Pyy
     np.testing.assert_allclose(r2[1], r1[1], rtol=1e-8, atol=1e-12)  # Pxy
     np.testing.assert_allclose(r2[5], r1[5], rtol=1e-6, atol=1e-8)   # phase
+
+
+@needs8
+def test_collective_audit_and_scaling_projection():
+    """The HLO collective audit must see exactly the collectives the design
+    calls for (halo ppermute + Welch psum, SURVEY §2.3) and the projected
+    2-host efficiency must clear the BASELINE >=85% bar."""
+    # the production workload (the BENCH headline shape, scaled to 8 shards)
+    r = par.project_scaling(nt=1 << 22, nch=8, nwins=4096,
+                            per_chip_samples_per_s=1.0e10)
+    ops = {c["op"] for c in r["collectives"]}
+    assert "collective-permute" in ops          # segment + FIR halos
+    assert "all-reduce" in ops                  # Welch psum / detrend moments
+    assert r["bytes"]["halo_ppermute"] > 0
+    assert r["bytes"]["psum_allreduce"] > 0
+    # halo bytes scale with (nwins-1)*nch*4 (x halo + y halo + FIR halo)
+    expect_halo = (4096 - 1) * (8 + 1) * 4
+    assert r["bytes"]["halo_ppermute"] >= expect_halo
+    assert r["efficiency"]["no_overlap"] > 0.85
+    assert 0 < r["efficiency"]["no_overlap"] <= r["efficiency"]["overlapped"]
+    # and the model honestly reports a comm-bound regime for tiny work
+    r_small = par.project_scaling(nt=1 << 18, nch=4, nwins=1024,
+                                  per_chip_samples_per_s=1.0e10)
+    assert r_small["efficiency"]["no_overlap"] < r["efficiency"]["no_overlap"]
