@@ -138,9 +138,14 @@ def run_configs():
 
     dt = timeit(lambda: stft_run(cd))
     fl2 = v3_dispatched_flops(plan2.nwins, plan2.noverlap, plan2.navr, 1, 1)
+    # STFT keeps every segment: the (navr, nfft) re+im result dominates the
+    # traffic, so the honest roofline is HBM write bandwidth, not the MXU
+    stft_bytes = 8.0 * plan2.navr * plan2.nfft + 4.0 * nt
     rows.append({"config": 2, "what": "stft_chirp_cola",
                  "samples_per_s": round(nt / dt, 1), "wall_s": dt,
                  "mxu_util": mfu(fl2, dt),
+                 "hbm_gbs": round(stft_bytes / dt / 1e9, 1),
+                 "roofline": "hbm",
                  "result_bytes": 8 * plan2.navr * plan2.nwins})
 
     # ---- config 3: FIR band-pass + notch chain, 8 channels -------------- #
@@ -164,6 +169,7 @@ def run_configs():
                  "samples_per_s": round(nch * nt / dt, 1), "wall_s": dt,
                  "mxu_util": mfu(fl, dt),
                  "hbm_gbs": round(8 * nch * nt / dt / 1e9, 1),
+                 "roofline": "hbm",
                  "result_bytes": 4 * nch * nt})
 
     # ---- config 4: Hilbert envelope/phase demodulation ------------------ #
@@ -178,9 +184,16 @@ def run_configs():
         return jnp.sum(env) + jnp.sum(ph)
 
     dt = timeit(lambda: hilb_run(amd))
-    rows.append({"config": 4, "what": "hilbert_demod",
-                 "samples_per_s": round(nt / dt, 1), "wall_s": dt,
-                 "result_bytes": 8 * nt})
+    from pyfft_tpu.hilbert import analytic_flops_bytes
+    fl4, bb4 = analytic_flops_bytes(nt)
+    row4 = {"config": 4, "what": "hilbert_demod",
+            "samples_per_s": round(nt / dt, 1), "wall_s": dt,
+            "roofline": "hbm",
+            "result_bytes": 8 * nt}
+    if fl4:
+        row4["mxu_util"] = mfu(fl4, dt)
+        row4["hbm_gbs"] = round(bb4 / dt / 1e9, 1)
+    rows.append(row4)
 
     # ---- config 5: multi-channel cross-coherence + Doppler COG ---------- #
     assert pallas_welch2_applicable(plan1.nwins, plan1.noverlap, plan1.navr,
@@ -277,6 +290,9 @@ def update_baseline_md(rows, headline, path="BASELINE.md"):
              "MXU util = achieved TFLOP/s over the chip's bf16 matmul peak,",
              "counting the FLOPs the kernels actually dispatch (bf16x3",
              "compensation passes and structural padding included).",
+             "Rows marked `hbm` are bandwidth-bound: their governing",
+             "roofline is the measured ~150-170 GB/s achievable HBM",
+             "streaming rate (book 819), quoted in the notes.",
              "wall/call includes ~1 ms of remote-tunnel dispatch overhead;",
              "device-resident time (and so true utilization) is",
              "correspondingly better.", "",
@@ -284,11 +300,17 @@ def update_baseline_md(rows, headline, path="BASELINE.md"):
              "|---|---|---|---|---|"]
     for r in sorted(rows, key=lambda r: r["config"] or 99):
         util = r.get("mxu_util")
+        note = f"result {r['result_bytes'] / 1e6:.2g} MB"
+        if r.get("hbm_gbs"):
+            note += f"; {r['hbm_gbs']:.0f} GB/s"
+            if r.get("roofline") == "hbm":
+                note += (f" = {100 * r['hbm_gbs'] / 160:.0f}% of achievable"
+                         " HBM (bound)")
         lines.append(
             f"| {r['what']} | {r['samples_per_s']:.3g} | "
             f"{r['wall_s'] * 1e3:.2f} ms | "
             f"{'' if util is None else f'{100 * util:.0f}%'} | "
-            f"result {r['result_bytes'] / 1e6:.2g} MB |")
+            f"{note} |")
     lines.append(f"| serial NumPy reference chain | "
                  f"{headline['base_rate']:.3g} | | | measured on a "
                  f"2^18-sample slice, scaled |")

@@ -217,6 +217,32 @@ def _analytic_factored(x, *, nfft, factors, prec):
     return zr, zi
 
 
+def analytic_flops_bytes(nfft, factors=None, prec="bf16x3"):
+    """(dispatched MXU FLOPs, approx HBM bytes) of ``_analytic_factored``.
+
+    FLOPs: the forward chain is 2 matmuls of size ``n1`` plus 4 einsums of
+    size ``n2`` and 4 of ``n3`` (each ``2*n*nfft`` FLOPs); the inverse
+    mirrors with 4 matmuls per stage -> ``nfft*(12 n1 + 16 n2 + 16 n3)``
+    logical FLOPs, times the precision pass count (bf16x3 = 3).
+
+    Bytes: the 6 matmul stages each read and write the full (re, im) pair
+    (elementwise twiddles fuse into neighbors) -> ``~24 * 4 * nfft`` plus
+    the mask and the envelope/phase epilogue (~4 more passes).  This is
+    the model the bench quotes against the HBM roofline — the chain is
+    bandwidth-bound at production sizes.
+    """
+    if factors is None:
+        from .ops.mxu_fft import balanced3_factorization
+        factors = balanced3_factorization(int(nfft))
+    if factors is None:
+        return None, None
+    n1, n2, n3 = factors
+    passes = {"highest": 6, "bf16x3": 3, "bf16": 1}[prec]
+    flops = passes * nfft * (12.0 * n1 + 16.0 * n2 + 16.0 * n3)
+    nbytes = (24 + 4) * 4.0 * nfft
+    return flops, nbytes
+
+
 @partial(jax.jit, static_argnames=("nfft", "axis", "prec"))
 def _envelope_phase_dev(u, *, nfft, axis, prec=None):
     from .ops.mxu_fft import balanced3_factorization

@@ -498,15 +498,19 @@ def _v3_fused_kernel(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref, yh_ref,
                                    "vmask"))
 def _v3_pipeline(x, y, norm, vrow=None, *, navr, nwins, noverlap, taps_key,
                  win_key, detrend_style, kprec, interpret, cplx=False,
-                 auto_only=False, vmask=False):
+                 auto_only=False, vmask=False, unroll_cap=None):
     nch, nt = y.shape
     C = nch + 1
     N = C * _LANES
     R, hr, Sseg, blk, L = _v3_geometry(nwins, noverlap, nch)
     nchunks = -(-navr // Sseg)
     # amortize per-grid-step pipeline overhead over several chunks, but not
-    # past the point where the cur block stops fitting VMEM comfortably
-    unroll = max(1, min(_UNROLL_CAP, nchunks,
+    # past the point where the cur block stops fitting VMEM comfortably.
+    # Narrow channel counts leave the per-step fixed cost dominant (at C=1
+    # a chunk is a single 128-wide matmul tier), so the cap scales inversely
+    # with C; `unroll_cap` overrides for experiments.
+    cap = unroll_cap if unroll_cap else max(_UNROLL_CAP, 64 // C)
+    unroll = max(1, min(cap, nchunks,
                         _UNROLL_VMEM // (2 * 4 * blk * N)))
     nb = -(-nchunks // unroll)
     need_rows = (nb * unroll + 1) * blk         # head of the last step
@@ -688,7 +692,7 @@ def _v3_pipeline(x, y, norm, vrow=None, *, navr, nwins, noverlap, taps_key,
 
 def welch_fir_pallas3(x, y, win, nfreq, norm, *, navr, nwins, noverlap,
                       taps=None, detrend_style=1, precision=None,
-                      interpret=None):
+                      interpret=None, unroll_cap=None):
     """One-sided Welch cross-powers + optional fused FIR, v3 kernel.
 
     Same contract as :func:`pyfft_tpu.ops.pallas_welch.welch_fir_pallas_fused`
@@ -719,7 +723,7 @@ def welch_fir_pallas3(x, y, win, nfreq, norm, *, navr, nwins, noverlap,
         x, y, jnp.float32(norm), navr=navr, nwins=nwins, noverlap=noverlap,
         taps_key=taps_key, win_key=win_key,
         detrend_style=int(detrend_style), kprec=kprec,
-        interpret=bool(interpret))
+        interpret=bool(interpret), unroll_cap=unroll_cap)
     return (Pxx[:nfreq], Pyy[:, :nfreq], Pxy_re[:, :nfreq],
             Pxy_im[:, :nfreq])
 
@@ -954,8 +958,31 @@ def welch_pallas3_twosided(x, y, win, norm, *, navr, nwins, noverlap,
 # STFT variant: per-segment spectra written to HBM (no power accumulation)
 # --------------------------------------------------------------------------- #
 
+def _stft_store(xr_ref, xi_ref, X3r, X3i, k, *, Sseg, R, natural):
+    """Write one chunk's per-segment spectra.
+
+    ``natural=True`` transposes the (R, 128) bin tile IN VMEM so element
+    ``k = q + R p`` lands at lane position ``k`` of a ``(.., Sseg, nwins)``
+    output — the C-order flatten of the transposed ``(128, R)`` tile is
+    exactly natural DFT order.  This removes the whole-array XLA transpose
+    the host epilogue otherwise materializes (a full HBM round-trip of the
+    (navr, nwins) result, which dominated the STFT config's wall time).
+    """
+    C = X3r.shape[0]
+    if natural:
+        nwins = R * _LANES
+        xr_ref[:, k * Sseg:(k + 1) * Sseg] = jnp.swapaxes(
+            X3r, -1, -2).reshape(C, Sseg, nwins)
+        xi_ref[:, k * Sseg:(k + 1) * Sseg] = jnp.swapaxes(
+            X3i, -1, -2).reshape(C, Sseg, nwins)
+    else:
+        xr_ref[:, k * Sseg:(k + 1) * Sseg] = X3r
+        xi_ref[:, k * Sseg:(k + 1) * Sseg] = X3i
+
+
 def _v3_stft_kernel(cur_ref, head_ref, mrow_ref, *refs, counts, C, R, Sseg,
-                    navr, blk, unroll, kprec, cplx=False, pre=False, kv=0):
+                    navr, blk, unroll, kprec, cplx=False, pre=False, kv=0,
+                    natural=False):
     """Grid ``(nb,)``: every step writes its ``unroll * Sseg`` segments'
     spectra straight out — the role of ``fftanal.fft_win``'s hot loop
     (reference ``fft_analysis.py:2126-2176``) with the same all-matmul
@@ -968,13 +995,14 @@ def _v3_stft_kernel(cur_ref, head_ref, mrow_ref, *refs, counts, C, R, Sseg,
                                   C=C, R=R, Sseg=Sseg, navr=navr, blk=blk,
                                   unroll=unroll, kprec=kprec, cplx=cplx,
                                   pre=pre, kv=kv, hr=blk // Sseg)
-        xr_ref[:, k * Sseg:(k + 1) * Sseg] = X3r
-        xi_ref[:, k * Sseg:(k + 1) * Sseg] = X3i
+        _stft_store(xr_ref, xi_ref, X3r, X3i, k, Sseg=Sseg, R=R,
+                    natural=natural)
 
 
 def _v3_fused_stft_kernel(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref, yh_ref,
                           srow_ref, *refs, counts, C, R, Sseg, navr, blk,
-                          unroll, kprec, cplx, kv, m, nbands, nrv, sub):
+                          unroll, kprec, cplx, kv, m, nbands, nrv, sub,
+                          natural=False):
     """Fused STFT: interleave + detrend in VMEM, per-segment spectra out."""
     band_refs = refs[:nbands]
     tabs, outs = _unpack_tabs(refs[nbands:], counts)
@@ -990,21 +1018,22 @@ def _v3_fused_stft_kernel(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref, yh_ref,
                                Sseg=Sseg, navr=navr, unroll=unroll,
                                kprec=kprec, cplx=cplx, pre=True, kv=kv,
                                hr=blk // Sseg)
-        xr_ref[:, k * Sseg:(k + 1) * Sseg] = X3r
-        xi_ref[:, k * Sseg:(k + 1) * Sseg] = X3i
+        _stft_store(xr_ref, xi_ref, X3r, X3i, k, Sseg=Sseg, R=R,
+                    natural=natural)
 
 
 @partial(jax.jit, static_argnames=("navr", "nwins", "noverlap", "win_key",
                                    "detrend_style", "kprec", "interpret",
-                                   "cplx"))
+                                   "cplx", "natural"))
 def _v3_stft_pipeline(x, y, norm, *, navr, nwins, noverlap, win_key,
-                      detrend_style, kprec, interpret, cplx=False):
+                      detrend_style, kprec, interpret, cplx=False,
+                      natural=True):
     nch, nt = y.shape
     C = nch + 1
     N = C * _LANES
     R, hr, Sseg, blk, L = _v3_geometry(nwins, noverlap, nch)
     nchunks = -(-navr // Sseg)
-    unroll = max(1, min(_UNROLL_CAP, nchunks,
+    unroll = max(1, min(max(_UNROLL_CAP, 64 // C), nchunks,
                         _UNROLL_VMEM // (2 * 4 * blk * N)))
     nb = -(-nchunks // unroll)
     need_rows = (nb * unroll + 1) * blk
@@ -1029,10 +1058,16 @@ def _v3_stft_pipeline(x, y, norm, *, navr, nwins, noverlap, win_key,
     const_specs = [pl.BlockSpec(t.shape, lambda b: tuple(0 for _ in t.shape))
                    for t in tables]
     seg_blk = unroll * Sseg
-    out_specs = [pl.BlockSpec((Co, seg_blk, R, _LANES),
-                              lambda b: (0, b, 0, 0))] * 2
-    out_shape = [jax.ShapeDtypeStruct((Co, nseg_pad, R, _LANES),
-                                      jnp.float32)] * 2
+    if natural:
+        out_specs = [pl.BlockSpec((Co, seg_blk, nwins),
+                                  lambda b: (0, b, 0))] * 2
+        out_shape = [jax.ShapeDtypeStruct((Co, nseg_pad, nwins),
+                                          jnp.float32)] * 2
+    else:
+        out_specs = [pl.BlockSpec((Co, seg_blk, R, _LANES),
+                                  lambda b: (0, b, 0, 0))] * 2
+        out_shape = [jax.ShapeDtypeStruct((Co, nseg_pad, R, _LANES),
+                                          jnp.float32)] * 2
 
     if nt % _LANES == 0:
         nr = nt // _LANES
@@ -1063,7 +1098,7 @@ def _v3_stft_pipeline(x, y, norm, *, navr, nwins, noverlap, win_key,
             partial(_v3_fused_stft_kernel, counts=counts, C=C, R=R,
                     Sseg=Sseg, navr=navr, blk=blk, unroll=unroll,
                     kprec=kprec, cplx=cplx, kv=kv, m=0, nbands=0, nrv=nr,
-                    sub=detrend_style == 1),
+                    sub=detrend_style == 1, natural=natural),
             grid=(nb,),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -1089,7 +1124,7 @@ def _v3_stft_pipeline(x, y, norm, *, navr, nwins, noverlap, win_key,
         Xr, Xi = pl.pallas_call(
             partial(_v3_stft_kernel, counts=counts, C=C, R=R, Sseg=Sseg,
                     navr=navr, blk=blk, unroll=unroll, kprec=kprec,
-                    cplx=cplx, pre=False, kv=kv),
+                    cplx=cplx, pre=False, kv=kv, natural=natural),
             grid=(nb,),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -1099,6 +1134,10 @@ def _v3_stft_pipeline(x, y, norm, *, navr, nwins, noverlap, win_key,
             interpret=interpret,
         )(sig2, sig2, m_row, *map(jnp.asarray, tables))
 
+    if natural:
+        # the kernel already wrote natural DFT bin order (in-VMEM tile
+        # transpose) — only the padded-segment slice and scale remain
+        return Xr[:, :navr] * norm, Xi[:, :navr] * norm
     # natural order: (Co, nseg, R, 128)[c, s, q, p] -> bin k = q + R p
     Xr = Xr[:, :navr].transpose(0, 1, 3, 2).reshape(Co, navr, nwins) * norm
     Xi = Xi[:, :navr].transpose(0, 1, 3, 2).reshape(Co, navr, nwins) * norm
