@@ -323,12 +323,16 @@ def _unpack_tabs(refs, counts):
 
 def _v3_kernel(cur_ref, head_ref, mrow_ref, *refs, counts, C, R, Sseg, navr,
                blk, unroll, kprec, cplx=False, pre=False, kv=0,
-               auto_only=False, vmask=False):
+               auto_only=False, vmask=False, paircross=False):
     """Grid ``(nb,)``: ``unroll`` chunks of Sseg segments x C channels per
     step, all-matmul.  The unroll amortizes per-grid-step pipeline overhead
     (measured ~5us/step) over several chunks sharing one table residency.
     ``auto_only`` skips the cross-spectra reductions (PSD-only callers,
-    e.g. the virtual-channel packed path)."""
+    e.g. the virtual-channel packed path).  ``paircross``: channels arrive
+    as interleaved ``(x_part, y_part)`` virtual-channel pairs; the
+    epilogue reduces pairwise — ``Pxx``/``Pyy`` from the even/odd planes
+    and ``Pxy = y conj(x)`` within each pair — summed over the part axis
+    (the single-cross-channel analogue of the packed auto path)."""
     tabs, outs = _unpack_tabs(refs, counts)
     if auto_only:
         auto_ref, = outs[:1]
@@ -342,6 +346,15 @@ def _v3_kernel(cur_ref, head_ref, mrow_ref, *refs, counts, C, R, Sseg, navr,
                                   unroll=unroll, kprec=kprec, cplx=cplx,
                                   pre=pre, kv=kv, hr=blk // Sseg,
                                   vmask=vmask)
+        if paircross:
+            X5r = X3r.reshape(C // 2, 2, Sseg, R, _LANES)
+            X5i = X3i.reshape(C // 2, 2, Sseg, R, _LANES)
+            auto = jnp.sum(X5r * X5r + X5i * X5i, axis=(0, 2))  # (2, R, 128)
+            xre = jnp.sum(X5r[:, 1] * X5r[:, 0]
+                          + X5i[:, 1] * X5i[:, 0], axis=(0, 1))[None]
+            xim = jnp.sum(X5i[:, 1] * X5r[:, 0]
+                          - X5r[:, 1] * X5i[:, 0], axis=(0, 1))[None]
+            return auto, xre, xim
         auto = jnp.sum(X3r * X3r + X3i * X3i, axis=1)      # (Co, R, 128)
         if auto_only:
             return auto, None, None
@@ -423,7 +436,7 @@ def _assemble_rows(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref, yh_ref,
 def _v3_fused_kernel(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref, yh_ref,
                      srow_ref, *refs, counts, C, R, Sseg, navr, blk,
                      unroll, kprec, cplx, kv, m, nbands, nrv, sub,
-                     auto_only=False, vmask=False):
+                     auto_only=False, vmask=False, paircross=False):
     """Single-dispatch chain: FIR + channel interleave + detrend + Welch.
 
     Reads the ORIGINAL ``x (nr, 128)`` / ``y (nch, nr, 128)`` row views —
@@ -453,6 +466,17 @@ def _v3_fused_kernel(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref, yh_ref,
                                Sseg=Sseg, navr=navr, unroll=unroll,
                                kprec=kprec, cplx=cplx, pre=True, kv=kv,
                                hr=blk // Sseg, vmask=vmask)
+        if paircross:
+            # interleaved (x_part, y_part) virtual-channel pairs: reduce
+            # pairwise and over parts (see _v3_kernel docstring)
+            X5r = X3r.reshape(C // 2, 2, Sseg, R, _LANES)
+            X5i = X3i.reshape(C // 2, 2, Sseg, R, _LANES)
+            auto = jnp.sum(X5r * X5r + X5i * X5i, axis=(0, 2))
+            xre = jnp.sum(X5r[:, 1] * X5r[:, 0]
+                          + X5i[:, 1] * X5i[:, 0], axis=(0, 1))[None]
+            xim = jnp.sum(X5i[:, 1] * X5r[:, 0]
+                          - X5r[:, 1] * X5i[:, 0], axis=(0, 1))[None]
+            return auto, xre, xim
         auto = jnp.sum(X3r * X3r + X3i * X3i, axis=1)
         if auto_only:
             return auto, None, None
@@ -495,10 +519,11 @@ def _v3_fused_kernel(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref, yh_ref,
 @partial(jax.jit, static_argnames=("navr", "nwins", "noverlap", "taps_key",
                                    "win_key", "detrend_style", "kprec",
                                    "interpret", "cplx", "auto_only",
-                                   "vmask"))
+                                   "vmask", "unroll_cap", "paircross"))
 def _v3_pipeline(x, y, norm, vrow=None, *, navr, nwins, noverlap, taps_key,
                  win_key, detrend_style, kprec, interpret, cplx=False,
-                 auto_only=False, vmask=False, unroll_cap=None):
+                 auto_only=False, vmask=False, unroll_cap=None,
+                 paircross=False):
     nch, nt = y.shape
     C = nch + 1
     N = C * _LANES
@@ -567,9 +592,16 @@ def _v3_pipeline(x, y, norm, vrow=None, *, navr, nwins, noverlap, taps_key,
     kv = max(0, navr // Sseg - (nb - 1) * unroll)
     tables, counts = _v3_tables_host(nwins, hr, C, win_key, kprec)
     Co = C // 2 if cplx else C
-    nouts = 1 if auto_only else 3
-    out_specs = [pl.BlockSpec((Co, R, _LANES), lambda b: (0, 0, 0))] * nouts
-    out_shape = [jax.ShapeDtypeStruct((Co, R, _LANES), jnp.float32)] * nouts
+    if paircross:
+        out_cos = (2, 1, 1)           # (Pxx|Pyy, Pxy_re, Pxy_im)
+    elif auto_only:
+        out_cos = (Co,)
+    else:
+        out_cos = (Co, Co, Co)
+    out_specs = [pl.BlockSpec((co, R, _LANES), lambda b: (0, 0, 0))
+                 for co in out_cos]
+    out_shape = [jax.ShapeDtypeStruct((co, R, _LANES), jnp.float32)
+                 for co in out_cos]
     passes = {"highest": 6, "bf16x3": 3, "bf16": 1}[kprec]
     mm = (2 + 2 * passes + 3 * passes) * _LANES * _LANES * N
     flops = 2 * nb * unroll * mm
@@ -635,7 +667,7 @@ def _v3_pipeline(x, y, norm, vrow=None, *, navr, nwins, noverlap, taps_key,
                     navr=navr, blk=blk, unroll=unroll, kprec=kprec,
                     cplx=cplx, kv=kv, m=m, nbands=len(bands_flat), nrv=nr,
                     sub=detrend_style == 1, auto_only=auto_only,
-                    vmask=vmask),
+                    vmask=vmask, paircross=paircross),
             grid=(nb,),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -665,7 +697,7 @@ def _v3_pipeline(x, y, norm, vrow=None, *, navr, nwins, noverlap, taps_key,
             partial(_v3_kernel, counts=counts, C=C, R=R, Sseg=Sseg,
                     navr=navr, blk=blk, unroll=unroll, kprec=kprec,
                     cplx=cplx, pre=False, kv=kv, auto_only=auto_only,
-                    vmask=vmask),
+                    vmask=vmask, paircross=paircross),
             grid=(nb,),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -679,14 +711,17 @@ def _v3_pipeline(x, y, norm, vrow=None, *, navr, nwins, noverlap, taps_key,
         )(sig2, sig2, m_row, *map(jnp.asarray, tables))
 
     # natural order: bin k = q + R p lives at [q, p]
-    def natural(o):                              # (Co, R, 128) -> (Co, nwins)
-        return o.transpose(0, 2, 1).reshape(Co, nwins) * norm
+    def natural(o):                              # (co, R, 128) -> (co, nwins)
+        return o.transpose(0, 2, 1).reshape(o.shape[0], nwins) * norm
     if auto_only:
         return natural(outs[0])
     auto, xre, xim = outs
     A = natural(auto)
     Re = natural(xre)
     Im = natural(xim)
+    if paircross:
+        # A = (Pxx, Pyy); Re/Im are the pair-summed cross already
+        return A[0], A[1:2], Re, Im
     return A[0], A[1:], Re[1:], Im[1:]
 
 
@@ -846,6 +881,87 @@ def welch_auto_packed(x, win, nfreq, norm, *, navr, nwins, noverlap,
         detrend_style=int(detrend_style), kprec=kprec,
         interpret=bool(interpret), geom=geom)
     return Pxx[:nfreq]
+
+
+def packed_pair_geometry(navr, nwins, noverlap, parts=8):
+    """``(P, q, Lp)`` for PAIRED virtual-channel packing, or ``None``.
+
+    Like :func:`packed_parts_geometry`, but each part occupies TWO kernel
+    channels (x_part, y_part), so ``P <= 8`` (C = 2P <= 16)."""
+    hop = nwins - noverlap
+    P = int(min(parts, navr, 8))
+    if P <= 1:
+        return None
+    q = -(-navr // P)
+    P = -(-navr // q)
+    if P <= 1 or _v3_geometry(nwins, noverlap, 2 * P - 1) is None:
+        return None
+    return P, q, (q - 1) * hop + nwins
+
+
+@partial(jax.jit, static_argnames=("navr", "nwins", "noverlap", "taps_key",
+                                   "win_key", "detrend_style", "kprec",
+                                   "interpret", "geom"))
+def _packed_pair_pipeline(x, y, norm, *, navr, nwins, noverlap, taps_key,
+                          win_key, detrend_style, kprec, interpret, geom):
+    P, q, Lp = geom
+    nt = x.shape[-1]
+    if taps_key is not None:
+        from .pallas_fir import fir_pallas
+        pad = -(-nt // (512 * _LANES)) * (512 * _LANES) - nt
+        sig = jnp.stack([x, y])
+        if pad:
+            sig = jnp.concatenate(
+                [sig, jnp.zeros((2, pad), jnp.float32)], axis=-1)
+        sig = fir_pallas(sig, np.asarray(taps_key, np.float64),
+                         interpret=interpret, precision=kprec)[:, :nt]
+        x, y = sig[0], sig[1]
+    mx = jnp.sum(x) / nt if detrend_style == 1 else jnp.float32(0.0)
+    my = jnp.sum(y) / nt if detrend_style == 1 else jnp.float32(0.0)
+    px = _pack_parts(x, mx, navr, nwins, noverlap, P, q, Lp)
+    py = _pack_parts(y, my, navr, nwins, noverlap, P, q, Lp)
+    inter = jnp.stack([px, py], axis=1).reshape(2 * P, Lp)
+    v = np.minimum(q, navr - q * np.arange(P)).astype(np.float32)
+    vrow = np.repeat(np.repeat(v, 2), _LANES).reshape(1, 2 * P * _LANES)
+    return _v3_pipeline(inter[0], inter[1:], norm, vrow,
+                        navr=q, nwins=nwins, noverlap=noverlap,
+                        taps_key=None, win_key=win_key, detrend_style=0,
+                        kprec=kprec, interpret=interpret, vmask=True,
+                        paircross=True)
+
+
+def welch_pair_packed(x, y, win, nfreq, norm, *, navr, nwins, noverlap,
+                      taps=None, detrend_style=1, precision=None,
+                      interpret=None, parts=8):
+    """Single-cross-channel Welch with paired virtual-channel packing.
+
+    Same math as ``welch_fir_pallas3(x, y[None], ...)`` at nch=1 — causal
+    FIR, global-mean detrend, caller-applied one-sided scaling — with the
+    segment range spread over the lane dimension as interleaved
+    ``(x_part, y_part)`` channel pairs, so the C=2 lane-starved kernel
+    becomes a C=2P one (see :func:`packed_pair_geometry`).  Returns
+    ``(Pxx (nfreq,), Pyy (1, nfreq), Pxy_re (1, nfreq), Pxy_im (1,
+    nfreq))``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    kprec = resolve_kernel_precision(precision)
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32).reshape(-1)
+    geom = packed_pair_geometry(navr, nwins, noverlap, parts)
+    if geom is None:
+        raise ValueError("pair packing not applicable for this geometry")
+    if detrend_style not in (0, 1):
+        raise ValueError("v3 welch kernel supports detrend mean/none")
+    taps_key = (tuple(np.asarray(taps, np.float64).tolist())
+                if taps is not None else None)
+    win_key = tuple(np.asarray(win, np.float64).tolist())
+    Pxx, Pyy, Re, Im = _packed_pair_pipeline(
+        x, y, jnp.float32(norm), navr=navr, nwins=nwins, noverlap=noverlap,
+        taps_key=taps_key, win_key=win_key,
+        detrend_style=int(detrend_style), kprec=kprec,
+        interpret=bool(interpret), geom=geom)
+    return Pxx[:nfreq], Pyy[:, :nfreq], Re[:, :nfreq], Im[:, :nfreq]
 
 
 def v3_dispatched_flops(nwins, noverlap, navr, nch, ntaps=0,

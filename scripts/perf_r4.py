@@ -109,6 +109,37 @@ def main():
             dt_g = timeit(lambda: gather_only(xd))
             print(f"  gather only: {dt_g * 1e3:.3f} ms", flush=True)
 
+        # paired packing at nch=1 (x vs y cross) vs plain C=2
+        from pyfft_tpu.ops.pallas_welch3 import (welch_pair_packed,
+                                                 welch_fir_pallas3,
+                                                 packed_pair_geometry)
+        y1 = jax.device_put((0.7 * x + 0.3 * rng.standard_normal(nt)
+                             ).astype(np.float32))
+
+        @jax.jit
+        def plain_c2(xd, y1):
+            out = welch_fir_pallas3(xd, y1[None], win, plan.nnyquist, norm,
+                                    navr=plan.navr, nwins=plan.nwins,
+                                    noverlap=plan.noverlap, detrend_style=1,
+                                    interpret=not on_tpu)
+            return sum(jnp.sum(o) for o in out)
+
+        dt_c2 = timeit(lambda: plain_c2(xd, y1))
+        print(f"plain C=2 cross: {dt_c2 * 1e3:.3f} ms", flush=True)
+        if packed_pair_geometry(plan.navr, plan.nwins, plan.noverlap):
+
+            @jax.jit
+            def paired(xd, y1):
+                out = welch_pair_packed(xd, y1, win, plan.nnyquist, norm,
+                                        navr=plan.navr, nwins=plan.nwins,
+                                        noverlap=plan.noverlap,
+                                        detrend_style=1,
+                                        interpret=not on_tpu)
+                return sum(jnp.sum(o) for o in out)
+
+            dt_pp = timeit(lambda: paired(xd, y1))
+            print(f"pair-packed cross: {dt_pp * 1e3:.3f} ms", flush=True)
+
     elif which == "stft":
         from pyfft_tpu.ops.pallas_welch3 import (stft_pallas3,
                                                  v3_dispatched_flops)

@@ -400,3 +400,39 @@ def test_welch_auto_packed_matches_unpacked(nwins, nov, nt, ntaps, det):
     scl = float(np.max(np.abs(np.asarray(ref))))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-6 * scl)
+
+
+@pytest.mark.parametrize("nwins,nov,nt,ntaps,det", [
+    (512, 256, 1 << 15, 0, 1),
+    (512, 256, 1 << 15, 33, 1),
+    (1024, 512, 1 << 16, 0, 0),
+    (256, 128, 9 * 128 * 30 + 128, 65, 1),
+])
+def test_welch_pair_packed_matches_unpacked(nwins, nov, nt, ntaps, det):
+    """Paired virtual-channel packing (welch_pair_packed) == plain v3 at
+    nch=1: interleaved (x_part, y_part) channel pairs with the pairwise
+    cross epilogue, partial parts masked per lane group."""
+    from pyfft_tpu.ops.pallas_welch3 import (welch_pair_packed,
+                                             welch_fir_pallas3,
+                                             packed_pair_geometry)
+    rng = np.random.default_rng(3)
+    hop = nwins - nov
+    navr = (nt - nov) // hop
+    assert packed_pair_geometry(navr, nwins, nov) is not None
+    x = rng.standard_normal(nt).astype(np.float32)
+    y = rng.standard_normal(nt).astype(np.float32)
+    win = np.hanning(nwins + 1)[:-1]
+    taps = None
+    if ntaps:
+        t_ = np.hanning(ntaps)
+        taps = t_ / t_.sum()
+    ref = welch_fir_pallas3(x, y[None], win, nwins // 2 + 1, 1.0 / navr,
+                            navr=navr, nwins=nwins, noverlap=nov, taps=taps,
+                            detrend_style=det)
+    got = welch_pair_packed(x, y, win, nwins // 2 + 1, 1.0 / navr,
+                            navr=navr, nwins=nwins, noverlap=nov, taps=taps,
+                            detrend_style=det)
+    for a, b in zip(got, ref):
+        scl = float(np.max(np.abs(np.asarray(b)))) + 1e-30
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5 * scl)
