@@ -112,13 +112,38 @@ def run_configs():
             interpret=not on_tpu)
         return jnp.sum(Pxx)
 
-    dt = timeit(lambda: welch1(xd))
+    dt_plain = timeit(lambda: welch1(xd))
+    # the virtual-channel packed variant (lane-filled C=P kernel): measure
+    # both and keep the better — the winner depends on how the per-chunk
+    # fixed costs compare to the packing gather on this chip/runtime
+    from pyfft_tpu.ops.pallas_welch3 import (welch_auto_packed,
+                                             packed_parts_geometry)
+    dt_packed = None
+    if packed_parts_geometry(plan1.navr, plan1.nwins, plan1.noverlap):
+
+        @jax.jit
+        def welch1_packed(xd):
+            return jnp.sum(welch_auto_packed(
+                x=xd, win=win1, nfreq=plan1.nnyquist, norm=norm1,
+                navr=plan1.navr, nwins=plan1.nwins,
+                noverlap=plan1.noverlap, detrend_style=1,
+                interpret=not on_tpu))
+
+        try:
+            dt_packed = timeit(lambda: welch1_packed(xd))
+        except Exception:
+            dt_packed = None
+    dt = dt_plain if dt_packed is None else min(dt_plain, dt_packed)
+    variant = ("packed" if dt_packed is not None and dt_packed < dt_plain
+               else "plain")
     fl = v3_dispatched_flops(plan1.nwins, plan1.noverlap, plan1.navr, 0, 1)
     algo = prof.welch_flops(plan1.navr, nwins, nch=1)
     rows.append({"config": 1, "what": "welch_psd_1ch_hann50",
                  "samples_per_s": round(nt / dt, 1), "wall_s": dt,
                  "mxu_util": mfu(fl, dt),
                  "algo_tflops": round(algo / dt / 1e12, 3),
+                 "variant": variant, "wall_plain_s": dt_plain,
+                 "wall_packed_s": dt_packed,
                  "result_bytes": 4 * plan1.nnyquist})
 
     # ---- config 2: COLA STFT spectrogram of a chirp --------------------- #

@@ -421,6 +421,35 @@ def _run_welch_core(x_in, y_in, win, s1sq_enbw, *, backend, **static):
                 Pxx_seg=None, Pyy_seg=None, Pxy_seg=None,
                 Xfft_seg=None, Yfft_seg=None)
         from .ops.pallas_welch import pallas_welch2_applicable
+        import os as _os
+        if (_os.environ.get("PYFFT_PACKED") == "1"
+                and static["onesided"] and not static["ntmodel"]
+                and not is_cplx and y_np.shape[1] == 1
+                and static["detrend_style"] in (0, 1)):
+            # opt-in: single-cross-channel lane packing (interleaved
+            # (x_part, y_part) virtual-channel pairs).  Wins only where
+            # per-chunk fixed costs dominate the C=2 kernel; measured
+            # per-chip by bench.py config 1 (variant field)
+            from .ops.pallas_welch3 import (packed_pair_geometry,
+                                            welch_pair_packed)
+            if packed_pair_geometry(static["navr"], static["nwins"],
+                                    static["noverlap"]) is not None:
+                norm = np.float32(1.0 / (s1sq_enbw * static["navr"]))
+                Pxx, Pyy, Pr, Pi = welch_pair_packed(
+                    x_np.astype(np.float32), y_np[:, 0].astype(np.float32),
+                    np.asarray(win), static["nnyquist"], norm,
+                    navr=static["navr"], nwins=static["nwins"],
+                    noverlap=static["noverlap"],
+                    detrend_style=static["detrend_style"])
+                sc = _onesided_power_scale(static["nfft"],
+                                           static["nnyquist"]).astype(
+                                               np.float32)
+                return dict(
+                    Pxx=(np.asarray(Pxx) * sc).astype(np.complex128),
+                    Pyy=((np.asarray(Pyy) * sc).T).astype(np.complex128),
+                    Pxy=((np.asarray(Pr) + 1j * np.asarray(Pi)) * sc).T,
+                    Pxx_seg=None, Pyy_seg=None, Pxy_seg=None,
+                    Xfft_seg=None, Yfft_seg=None)
         applicable = (static["onesided"] and not static["ntmodel"]
                       and not is_cplx
                       and (pallas_welch2_applicable(

@@ -309,3 +309,22 @@ def test_fftinfosc_segment_contract():
         _ = info2.Pxy_seg
     with pytest.raises(AttributeError):
         _ = info2.not_a_field
+
+
+def test_fft_pwelch_packed_dispatch_env(monkeypatch):
+    """PYFFT_PACKED=1 routes single-cross-channel pallas calls through the
+    pair-packed kernel; results must match the xla backend."""
+    from pyfft_tpu.spectral import fft_pwelch
+    monkeypatch.setenv("PYFFT_PACKED", "1")
+    rng = np.random.default_rng(6)
+    fs, nt = 1e3, 1 << 14
+    t = np.arange(nt) / fs
+    x = np.sin(2 * np.pi * 97.0 * t) + 0.1 * rng.standard_normal(nt)
+    y = np.sin(2 * np.pi * 97.0 * t - 0.5) + 0.1 * rng.standard_normal(nt)
+    kw = dict(tper=0.512, windowoverlap=0.5, plotit=False, verbose=False)
+    rp = fft_pwelch(t, x, y, fft_backend="pallas", **kw)
+    rx = fft_pwelch(t, x, y, fft_backend="xla", **kw)
+    scl = np.abs(np.asarray(rx[2])).max()
+    np.testing.assert_allclose(rp[2], rx[2], rtol=5e-5, atol=1e-5 * scl)
+    np.testing.assert_allclose(rp[1], rx[1], rtol=5e-5, atol=1e-5 * scl)
+    np.testing.assert_allclose(rp[3], rx[3], rtol=5e-5, atol=1e-5 * scl)
