@@ -377,6 +377,16 @@ def wait_for_device(max_wait_s=1800, poll_s=45):
 
 def main():
     here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        # persist compiled executables across processes — the remote-tunnel
+        # compile path is slow (minutes per kernel on a bad day), so a warm
+        # cache is the difference between a 2-minute and a 40-minute bench
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(here, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     wait_for_device()
     rows, headline = run_configs()
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:

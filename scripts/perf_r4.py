@@ -36,6 +36,12 @@ def main():
     if os.environ.get("PERF_CPU"):
         # sitecustomize pins JAX_PLATFORMS=axon; only the config API wins
         jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(HERE, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from pyfft_tpu import segmentation as seg
     from pyfft_tpu.utils import profiling as prof
@@ -156,9 +162,27 @@ def main():
         dt = timeit(lambda: stft_run(xd))
         out_b = 8.0 * plan.navr * plan.nfft
         fl = v3_dispatched_flops(plan.nwins, plan.noverlap, plan.navr, 1, 1)
-        print(f"stft: {dt * 1e3:.3f} ms  {nt / dt:.3e} samp/s  "
+        print(f"stft(natural): {dt * 1e3:.3f} ms  {nt / dt:.3e} samp/s  "
               f"out {out_b / 1e6:.0f} MB  wr {out_b / dt / 1e9:.0f} GB/s  "
               f"util {fl / dt / 1e12 / mm_peak:.3f}", flush=True)
+
+        # legacy layout + XLA transpose epilogue, for comparison
+        from pyfft_tpu.ops.pallas_welch3 import _v3_stft_pipeline
+        import jax.numpy as jnp2
+        wk = tuple(np.asarray(win2, np.float64).tolist())
+
+        @jax.jit
+        def stft_legacy(xd):
+            Xr, Xi = _v3_stft_pipeline(
+                xd, jnp2.zeros((0, nt), jnp2.float32), 1.0,
+                navr=plan.navr, nwins=plan.nwins, noverlap=plan.noverlap,
+                win_key=wk, detrend_style=1, kprec="bf16x3",
+                interpret=not on_tpu, natural=False)
+            return jnp2.sum(Xr * Xr + Xi * Xi)
+
+        dt_l = timeit(lambda: stft_legacy(xd))
+        print(f"stft(legacy+xla-T): {dt_l * 1e3:.3f} ms  "
+              f"wr {out_b / dt_l / 1e9:.0f} GB/s", flush=True)
 
     elif which == "fir":
         from pyfft_tpu.ops.pallas_fir import fir_pallas
@@ -180,6 +204,16 @@ def main():
         print(f"fir ntaps={len(taps)}: {dt * 1e3:.3f} ms  "
               f"{nch * nt / dt:.3e} samp/s  {bb / dt / 1e9:.0f} GB/s",
               flush=True)
+        for br in (1024, 256):
+
+            @jax.jit
+            def run_br(yd, br=br):
+                return jnp.sum(fir_pallas(yd, taps, block_rows=br,
+                                          interpret=not on_tpu))
+
+            dtb = timeit(lambda: run_br(yd))
+            print(f"fir block_rows={br}: {dtb * 1e3:.3f} ms  "
+                  f"{bb / dtb / 1e9:.0f} GB/s", flush=True)
         # shorter taps for comparison (one band block)
         taps1 = bp
 
