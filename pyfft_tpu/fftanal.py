@@ -640,6 +640,49 @@ class fftanal(Struct):
 
     # ---------------- plotting adapters -------------------------------- #
 
+    def __calcAmp__(self, tvec, sigx, sigy, tbounds, nn=8, ol=0.5,
+                    ww="hanning"):
+        """Amplitude via several Hann windows (reference
+        ``fft_analysis.py:2310-2318``); stores ``frqA``/``Axx``/``Ayy``/
+        ``Axy``/``aCxy`` and draws the log-amplitude panel."""
+        (self.frqA, self.Axy, self.Axx, self.Ayy, self.aCxy, _,
+         _) = fft_pwelch(tvec, sigx, sigy, tbounds, Navr=nn,
+                         windowoverlap=ol, windowfunction=ww,
+                         useMLAB=self.useMLAB, plotit=False,
+                         verbose=self.verbose,
+                         detrend_style=self.detrendstyle,
+                         onesided=self.onesided)
+        self.__plotAmp__()
+
+    def __calcPh1__(self, tvec, sigx, sigy, tbounds, nn=1, ol=0.0,
+                    ww="box"):
+        """Phase via one long boxcar window (reference
+        ``fft_analysis.py:2321-2329``); stores ``frqP``/``ph``."""
+        (self.frqP, _, _, _, _, self.ph, _) = fft_pwelch(
+            tvec, sigx, sigy, tbounds, Navr=nn, windowoverlap=ol,
+            windowfunction=ww, useMLAB=self.useMLAB, plotit=False,
+            verbose=self.verbose, detrend_style=self.detrendstyle,
+            onesided=self.onesided)
+        self.__plotPh1__()
+
+    def __plotAmp__(self, _ax=None):  # pragma: no cover - plotting
+        fftanal._plotlogAmp(self.frqA, self.Axx, self.Ayy, self.Axy,
+                            afont=self.afont, _ax=_ax, scl=1e-3)
+
+    def __plotPh1__(self, _ax=None):  # pragma: no cover - plotting
+        fftanal._plotPhase(self.frqP, self.ph, afont=self.afont, _ax=_ax,
+                           scl=1e-3)
+
+    def __preallocateFFT__(self):
+        """Empty-result preallocation (reference
+        ``fft_analysis.py:2340-2358``)."""
+        self.tvec = np.array([], dtype=np.float64)
+        self.freq = np.array([], dtype=np.float64)
+        for name in ("Pxy", "Pxx", "Pyy", "varPxy", "varPxx", "varPyy"):
+            setattr(self, name, np.array([], dtype=np.complex128))
+        for name in ("Coh", "varCoh", "phi", "varphi"):
+            setattr(self, name, np.array([], dtype=np.float64))
+
     def plotall(self):  # pragma: no cover
         import matplotlib.pyplot as plt
         self.fig = plt.figure(figsize=(15, 15))

@@ -228,3 +228,26 @@ def test_stft_useMLAB_scipy_oracle_branch():
                   verbose=False)
     ft2.stft()
     assert ft2.Xseg.shape[0] != ft.Xseg.shape[0]  # zeros-boundary segments
+
+
+def test_calcAmp_calcPh1_preallocate():
+    """Reference convenience methods __calcAmp__/__calcPh1__/
+    __preallocateFFT__ (fft_analysis.py:2310-2358)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from pyfft_tpu.fftanal import fftanal
+    rng = np.random.default_rng(0)
+    nt = 1 << 12
+    t = np.arange(nt) / 1e3
+    x = np.sin(2 * np.pi * 97 * t) + 0.1 * rng.standard_normal(nt)
+    y = np.sin(2 * np.pi * 97 * t - 0.4) + 0.1 * rng.standard_normal(nt)
+    fa = fftanal(t, x, y, Navr=8, plotit=False, verbose=False)
+    fa.__calcAmp__(t, x, y, [t[1], t[-2]])
+    ipk = int(np.argmax(np.abs(np.asarray(fa.Axy))))
+    assert abs(fa.frqA[ipk] - 97.0) < 2.0
+    fa.__calcPh1__(t, x, y, [t[1], t[-2]])
+    ipk2 = int(np.argmin(np.abs(np.asarray(fa.frqP) - 97.0)))
+    # y lags x by 0.4 rad; phi = angle(Y conj X) = -0.4 (reference :520)
+    assert abs(np.asarray(fa.ph)[ipk2] + 0.4) < 0.15
+    fa.__preallocateFFT__()
+    assert fa.Pxy.dtype == np.complex128 and fa.Pxy.size == 0
