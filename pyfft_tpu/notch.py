@@ -43,6 +43,10 @@ def _design_notch_peak(w0, Q, ftype):
     return b, a
 
 
+# reference-parity alias (reference ``notch_filter.py:175``)
+_design_notch_peak_filter = _design_notch_peak
+
+
 def iirnotch(w0, Q):
     """Second-order notch: rejects a narrow band around ``w0`` (normalized
     to Nyquist).  ``Q = w0 / bw`` at the -3 dB width.  Returns ``(b, a)``."""

@@ -30,13 +30,15 @@ __all__ = ["stft_sharded"]
 
 @partial(jax.jit, static_argnames=("navr", "nwins", "hop", "nfft",
                                    "nnyquist", "onesided", "detrend_style",
-                                   "backend", "B", "M", "mesh_static"))
+                                   "backend", "B", "M", "mesh_static",
+                                   "cplx"))
 def _stft_sharded_jit(x, tvec, win, s1, sqrt_enbw, *, navr, nwins, hop,
                       nfft, nnyquist, onesided, detrend_style, backend, B,
-                      M, mesh_static):
+                      M, mesh_static, cplx=False):
     mesh = mesh_static.mesh
 
     def step(x_l, t_l, win_l, s1_l, senbw_l):
+        # complex signals arrive as a stacked (re, im) leading axis of 2
         x_l = _detrend_sharded(x_l, detrend_style, "t")
         halo = nwins - 1
         x_h = _halo_right(x_l, halo, "t")
@@ -49,14 +51,16 @@ def _stft_sharded_jit(x, tvec, win, s1, sqrt_enbw, *, navr, nwins, hop,
         starts = jnp.clip(g_ids * hop - d * B, 0, B + halo - nwins)
 
         idx = starts[:, None] + jnp.arange(nwins)[None, :]
-        xw = x_h[idx] * win_l                    # (M, nwins)
+        xw = x_h[..., idx] * win_l               # ([2,] M, nwins)
         tt = jnp.mean(t_h[idx], axis=-1)
 
+        re, im = (xw[0], xw[1]) if cplx else (xw, None)
         if backend == "xla":
-            X = jnp.fft.fft(xw, n=nfft, axis=-1)
+            X = jnp.fft.fft(re if im is None else lax.complex(re, im),
+                            n=nfft, axis=-1)
             Xr, Xi = jnp.real(X), jnp.imag(X)
         else:
-            Xr, Xi = mxu_fft.fft_pair(xw, None, n=nfft, axis=-1)
+            Xr, Xi = mxu_fft.fft_pair(re, im, n=nfft, axis=-1)
         if onesided:
             amp = jnp.asarray(_onesided_amp_scale(nfft, nnyquist),
                               dtype=Xr.dtype)
@@ -71,7 +75,7 @@ def _stft_sharded_jit(x, tvec, win, s1, sqrt_enbw, *, navr, nwins, hop,
 
     return shard_map(
         step, mesh,
-        in_specs=(P("t"), P("t"), P(), P(), P()),
+        in_specs=(P(None, "t") if cplx else P("t"), P("t"), P(), P(), P()),
         out_specs=(P("t", None), P("t", None), P("t"), P("t")),
         check_vma=False,
     )(x, tvec, win, s1, sqrt_enbw)
@@ -81,8 +85,10 @@ def stft_sharded(x, tvec, win, plan: seg.SegmentPlan, fs, mesh, *,
                  onesided=True, detrend_style=1, fft_backend=None):
     """Distributed STFT of ``x (nt,)`` over the ``'t'`` mesh axis.
 
-    Returns host numpy ``(tt (navr,), freq, Xfft (navr, nfreq) complex)``
-    with the exact :func:`stft_segments` scaling contract.
+    Real or complex input (complex rides as a stacked (re, im) pair and is
+    normally analyzed two-sided, matching :func:`stft_segments`).  Returns
+    host numpy ``(tt (navr,), freq, Xfft (navr, nfreq) complex)`` with the
+    exact :func:`stft_segments` scaling contract.
     """
     backend = resolve_fft_backend(fft_backend)
     if backend == "pallas":
@@ -98,14 +104,21 @@ def stft_sharded(x, tvec, win, plan: seg.SegmentPlan, fs, mesh, *,
 
     # widest dtype the backend actually supports (f32 unless x64 is enabled)
     wdt = jax.dtypes.canonicalize_dtype(np.float64)
+    x_np = np.asarray(x)
+    cplx = np.iscomplexobj(x_np)
+    if cplx:
+        # stacked (re, im) pair — no complex dtype reaches the device
+        x_np = np.stack([np.ascontiguousarray(x_np.real),
+                         np.ascontiguousarray(x_np.imag)])
     with mesh:
         Xr, Xi, tt, gid = _stft_sharded_jit(
-            jnp.asarray(x, wdt), jnp.asarray(tvec, wdt),
+            jnp.asarray(x_np, wdt), jnp.asarray(tvec, wdt),
             jnp.asarray(win_np), jnp.asarray(s1),
             jnp.asarray(np.sqrt(enbw)), navr=plan.navr, nwins=plan.nwins,
             hop=hop, nfft=plan.nfft, nnyquist=plan.nnyquist,
             onesided=bool(onesided), detrend_style=int(detrend_style),
-            backend=backend, B=B, M=M, mesh_static=_MeshBox(mesh))
+            backend=backend, B=B, M=M, mesh_static=_MeshBox(mesh),
+            cplx=cplx)
 
     Xr, Xi = np.asarray(Xr), np.asarray(Xi)
     tt, gid = np.asarray(tt), np.asarray(gid)

@@ -301,3 +301,25 @@ def test_collective_audit_and_scaling_projection():
     r_small = par.project_scaling(nt=1 << 18, nch=4, nwins=1024,
                                   per_chip_samples_per_s=1.0e10)
     assert r_small["efficiency"]["no_overlap"] < r["efficiency"]["no_overlap"]
+
+
+@needs8
+def test_stft_sharded_complex_twosided():
+    """Complex input on the distributed STFT (stacked re/im pair) must
+    match the single-device stft_segments two-sided contract."""
+    from pyfft_tpu.parallel.stft import stft_sharded
+    from pyfft_tpu.fftanal import stft_segments
+    rng = np.random.default_rng(8)
+    nt, fs = 4096, 1e3
+    t = np.arange(nt) / fs
+    z = (np.exp(1j * 2 * np.pi * 83.0 * t)
+         + 0.1 * (rng.standard_normal(nt) + 1j * rng.standard_normal(nt)))
+    plan = seg.plan_segments(nt, nwins=256, windowoverlap=0.5)
+    win = np.hanning(257)[:-1]
+    mesh = par.make_mesh(ch=1, t=8)
+    tt_s, freq_s, X_s = stft_sharded(z, t, win, plan, fs, mesh,
+                                     onesided=False, detrend_style=1)
+    tt_1, freq_1, X_1, _ = stft_segments(z, t, win, plan, fs,
+                                         onesided=False, detrend_style=1)
+    np.testing.assert_allclose(freq_s, freq_1, rtol=1e-12)
+    np.testing.assert_allclose(X_s, np.asarray(X_1), rtol=1e-9, atol=1e-12)
