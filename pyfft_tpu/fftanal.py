@@ -284,7 +284,30 @@ class fftanal(Struct):
         if d is not None:
             if not isinstance(d, dict):
                 d = d.dict_from_class()
+            # the lazy-segment closure stays on the fftinfo container;
+            # __getattr__ below delegates segment-field access to it
+            d = {k: v for k, v in d.items() if k != "_lazy_segments"}
             self.__dict__.update(d)
+
+    def __getattr__(self, name):
+        # Fast-path fft_pwelch results keep the per-segment arrays lazy on
+        # the fftinfo container (see spectral.fftinfosc); after
+        # fftpwelch()'s update() the fields are absent HERE, so the first
+        # touch delegates to fftinfo (triggering its recompute) and caches
+        # every filled field on self — preserving the reference contract
+        # that fftanal exposes P??_seg/?fft_seg after fftpwelch().
+        from .spectral import _SEGMENT_FIELDS
+        if name != "fftinfo" and name in _SEGMENT_FIELDS:
+            info = self.__dict__.get("fftinfo")
+            if info is not None:
+                getattr(info, name)             # may trigger the lazy fill
+                for f in _SEGMENT_FIELDS:
+                    if f in info.__dict__:
+                        self.__dict__[f] = info.__dict__[f]
+                if name in self.__dict__:
+                    return self.__dict__[name]
+        raise AttributeError(
+            f"{type(self).__name__!s} object has no attribute {name!r}")
 
     # ------------------------------------------------------------------ #
     # pipelines
@@ -319,8 +342,10 @@ class fftanal(Struct):
         onesided = bool(self.onesided)
         if isinstance(self.onesided, str):
             onesided = "two" not in self.onesided
-        detrend = {1: "constant", 0: False, -1: "linear"}.get(
-            self.detrendstyle, False)
+        # repo-wide detrend convention: >0 mean, <0 linear, 0 none
+        # (utils/detrend.py) — keep the oracle consistent with it
+        detrend = ("constant" if self.detrendstyle > 0 else
+                   "linear" if self.detrendstyle < 0 else False)
         self.freq, self.tseg, Xseg = _dsp.stft(
             self.sigx, fs=self.Fs, window=self.win, nperseg=self.nwins,
             noverlap=self.noverlap, nfft=self.nfft, detrend=detrend,

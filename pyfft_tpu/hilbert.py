@@ -19,6 +19,8 @@ from functools import partial, lru_cache
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .ops import mxu_fft
 
@@ -217,6 +219,147 @@ def _analytic_factored(x, *, nfft, factors, prec):
     return zr, zi
 
 
+def _hilb_slab_kernel(ar_ref, ai_ref, tbr_ref, tbi_ref, tcr_ref, tci_ref,
+                      c2_ref, s2_ref, c3_ref, s3_ref, t2r_ref, t2i_ref,
+                      or_ref, oi_ref, *, n1, n2, n3, nyq, P):
+    """Stages 2/3 + analytic mask + inverse 3'/2' of the factored chain,
+    fused per k1 slab in VMEM.
+
+    The XLA version of this middle section round-trips every intermediate
+    (k1, n2, n3) pair through HBM (4 matmul stages x read+write); here one
+    slab load and one slab store bracket all 16 matmuls, so the chain's
+    HBM traffic drops from ~7 full-array round-trips to ~3.  Table
+    symmetry (DFT matrices are symmetric; inverse = same cos, negated sin)
+    keeps every contraction a plain row-major ``jnp.dot``.
+    """
+    import jax.numpy as jnp
+
+    k1 = pl.program_id(0)
+    Ar = ar_ref[0]                               # (n2, n3): (b, c)
+    Ai = ai_ref[0]
+    tbr = jnp.transpose(tbr_ref[...])            # (n2, 1)
+    tbi = jnp.transpose(tbi_ref[...])
+    tcr = tcr_ref[...]                           # (1, n3)
+    tci = tci_ref[...]
+
+    def dot(a, b):
+        return jnp.dot(a, b, precision=P,
+                       preferred_element_type=jnp.float32)
+
+    # stage-1 twiddles W_N^{(b n3 + c) k1}, applied per slab
+    Ar, Ai = Ar * tbr - Ai * tbi, Ar * tbi + Ai * tbr
+    Ar, Ai = Ar * tcr - Ai * tci, Ar * tci + Ai * tcr
+
+    # stage 2: contract b -> (k2, c)
+    C2, S2 = c2_ref[...], s2_ref[...]
+    Br = dot(C2, Ar) - dot(S2, Ai)
+    Bi = dot(C2, Ai) + dot(S2, Ar)
+    # mid twiddle W_{n2 n3}^{c k2} in (k2, c) layout
+    t2r, t2i = t2r_ref[...], t2i_ref[...]
+    Br, Bi = Br * t2r - Bi * t2i, Br * t2i + Bi * t2r
+    # stage 3: contract c -> (k2, k3)
+    C3, S3 = c3_ref[...], s3_ref[...]
+    Xr = dot(Br, C3) - dot(Bi, S3)
+    Xi = dot(Br, S3) + dot(Bi, C3)
+
+    # analytic mask at k = k1 + n1 k2 + n1 n2 k3
+    i2 = jax.lax.broadcasted_iota(jnp.int32, (n2, n3), 0)
+    i3 = jax.lax.broadcasted_iota(jnp.int32, (n2, n3), 1)
+    kk = k1 + n1 * i2 + (n1 * n2) * i3
+    h = jnp.where((kk == 0) | (kk == nyq), 1.0,
+                  jnp.where(kk < nyq, 2.0, 0.0)).astype(jnp.float32)
+    Xr = Xr * h
+    Xi = Xi * h
+
+    # inverse stage 3' (C3v = C3, S3v = -S3): contract k3 -> (k2, c)
+    Br = dot(Xr, C3) + dot(Xi, S3)
+    Bi = dot(Xi, C3) - dot(Xr, S3)
+    # conj mid twiddle (same tables, mirrored combine)
+    Br, Bi = Br * t2r + Bi * t2i, Bi * t2r - Br * t2i
+    # inverse stage 2': contract k2 -> (b, c)
+    Ar = dot(C2, Br) + dot(S2, Bi)
+    Ai = dot(C2, Bi) - dot(S2, Br)
+    # conj stage-1 twiddles
+    Ar, Ai = Ar * tcr + Ai * tci, Ai * tcr - Ar * tci
+    Ar, Ai = Ar * tbr + Ai * tbi, Ai * tbr - Ar * tbi
+
+    or_ref[0] = Ar
+    oi_ref[0] = Ai
+
+
+@partial(jax.jit, static_argnames=("nfft", "factors", "prec", "interpret"))
+def _analytic_factored_slab(x, *, nfft, factors, prec, interpret):
+    """Analytic signal via the factored chain with the middle section as
+    ONE Pallas dispatch (see :func:`_hilb_slab_kernel`).  Same math as
+    :func:`_analytic_factored` (asserted in tests); the inverse middle
+    lands slabs in (b, c) layout, so the final output is naturally ordered
+    and the deferred flip disappears too."""
+    n1, n2, n3 = factors
+    P = {"highest": jax.lax.Precision.HIGHEST,
+         "bf16x3": jax.lax.Precision.HIGH,
+         "bf16": jax.lax.Precision.DEFAULT}[prec]
+    C1, S1 = _dft_tables(n1, -1.0)
+    X = x.reshape(n1, n2 * n3).astype(jnp.float32)
+    Ar = jnp.dot(C1, X, precision=P).reshape(n1, n2, n3)
+    Ai = jnp.dot(S1, X, precision=P).reshape(n1, n2, n3)
+
+    k1 = np.arange(n1)
+    ang_b = (2.0 * np.pi / nfft) * n3 * np.outer(k1, np.arange(n2))
+    ang_c = (2.0 * np.pi / nfft) * np.outer(k1, np.arange(n3))
+    ang2t = ((2.0 * np.pi / (n2 * n3))
+             * np.outer(np.arange(n2), np.arange(n3)))   # (k2, c)
+    f32 = np.float32
+    tables = [f32(np.cos(ang_b)), f32(-np.sin(ang_b)),
+              f32(np.cos(ang_c)), f32(-np.sin(ang_c))]
+    n = np.arange(n2)
+    a2 = (2.0 * np.pi / n2) * np.outer(n, n)
+    n = np.arange(n3)
+    a3 = (2.0 * np.pi / n3) * np.outer(n, n)
+    tables += [f32(np.cos(a2)), f32(-np.sin(a2)),
+               f32(np.cos(a3)), f32(-np.sin(a3)),
+               f32(np.cos(ang2t)), f32(-np.sin(ang2t))]
+    nyq = (nfft + 1) // 2 if nfft % 2 else nfft // 2
+
+    slab = lambda k: (k, 0, 0)  # noqa: E731
+    zero2 = lambda k: (0, 0)    # noqa: E731
+    Br, Bi = pl.pallas_call(
+        partial(_hilb_slab_kernel, n1=n1, n2=n2, n3=n3, nyq=nyq, P=P),
+        grid=(n1,),
+        in_specs=[
+            pl.BlockSpec((1, n2, n3), slab),
+            pl.BlockSpec((1, n2, n3), slab),
+            pl.BlockSpec((1, n2), lambda k: (k, 0)),
+            pl.BlockSpec((1, n2), lambda k: (k, 0)),
+            pl.BlockSpec((1, n3), lambda k: (k, 0)),
+            pl.BlockSpec((1, n3), lambda k: (k, 0)),
+            pl.BlockSpec((n2, n2), zero2),
+            pl.BlockSpec((n2, n2), zero2),
+            pl.BlockSpec((n3, n3), zero2),
+            pl.BlockSpec((n3, n3), zero2),
+            pl.BlockSpec((n2, n3), zero2),
+            pl.BlockSpec((n2, n3), zero2),
+        ],
+        out_specs=[pl.BlockSpec((1, n2, n3), slab)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((n1, n2, n3), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * 16 * n1 * n2 * n3 * max(n2, n3)),
+            bytes_accessed=int(16 * n1 * n2 * n3), transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(Ar, Ai, *map(jnp.asarray, tables))
+
+    s = np.float32(1.0 / nfft)
+    A2r = Br.reshape(n1, n2 * n3)
+    A2i = Bi.reshape(n1, n2 * n3)
+    # final stage: contract k1 (C1v = C1, S1v = -S1) -> natural time order
+    zr = (jnp.dot(C1, A2r, precision=P)
+          + jnp.dot(S1, A2i, precision=P)) * s
+    zi = (jnp.dot(C1, A2i, precision=P)
+          - jnp.dot(S1, A2r, precision=P)) * s
+    return zr.reshape(nfft), zi.reshape(nfft)
+
+
 def analytic_flops_bytes(nfft, factors=None, prec="bf16x3"):
     """(dispatched MXU FLOPs, approx HBM bytes) of ``_analytic_factored``.
 
@@ -237,17 +380,22 @@ def analytic_flops_bytes(nfft, factors=None, prec="bf16x3"):
     if factors is None:
         return None, None
     n1, n2, n3 = factors
-    passes = {"highest": 6, "bf16x3": 3, "bf16": 1}[prec]
+    from .ops.precision import KERNEL_PASSES
+    passes = KERNEL_PASSES[prec]
     flops = passes * nfft * (12.0 * n1 + 16.0 * n2 + 16.0 * n3)
     nbytes = (24 + 4) * 4.0 * nfft
     return flops, nbytes
 
 
-@partial(jax.jit, static_argnames=("nfft", "axis", "prec"))
-def _envelope_phase_dev(u, *, nfft, axis, prec=None):
+@partial(jax.jit, static_argnames=("nfft", "axis", "prec", "slab"))
+def _envelope_phase_dev(u, *, nfft, axis, prec=None, slab=None):
+    import os
     from .ops.mxu_fft import balanced3_factorization
     from .ops.precision import resolve_kernel_precision
 
+    if slab is None:
+        # slab-fused middle section: opt-in until validated on the chip
+        slab = os.environ.get("PYFFT_HILB_SLAB", "0") == "1"
     if jax.default_backend() == "cpu":
         z = _hilbert_xla(u, nfft=nfft, axis=axis)
         zr, zi = jnp.real(z), jnp.imag(z)
@@ -256,9 +404,10 @@ def _envelope_phase_dev(u, *, nfft, axis, prec=None):
                    if u.ndim == 1 and axis in (-1, 0)
                    and u.shape[-1] == nfft else None)
         if factors is not None:
-            zr, zi = _analytic_factored(
-                u, nfft=int(nfft), factors=factors,
-                prec=resolve_kernel_precision(prec))
+            impl = _analytic_factored_slab if slab else _analytic_factored
+            kw = {"interpret": False} if slab else {}
+            zr, zi = impl(u, nfft=int(nfft), factors=factors,
+                          prec=resolve_kernel_precision(prec), **kw)
         else:
             zr, zi = _hilbert_mxu(u, nfft=nfft, axis=axis)
     return jnp.sqrt(zr * zr + zi * zi), jnp.arctan2(zi, zr)

@@ -44,7 +44,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .precision import split_bf16, resolve_kernel_precision
+from .precision import (split_bf16, resolve_kernel_precision,
+                        KERNEL_PASSES)
 
 __all__ = ["welch_fir_pallas3", "pallas_welch3_applicable",
            "welch_pallas3_twosided", "pallas_welch3_cplx_applicable",
@@ -312,6 +313,20 @@ def _chunk_math(rows, mrow_ref, tabs, b, k, *, C, R, Sseg, navr, unroll,
     return X3r, X3i
 
 
+def _pair_reduce(X3r, X3i, C):
+    """Pairwise reductions for interleaved (x_part, y_part) channels:
+    ``auto = (Pxx, Pyy)`` from the even/odd planes, ``Pxy = y conj(x)``
+    within each pair, all summed over the part and segment axes."""
+    X5r = X3r.reshape(C // 2, 2, X3r.shape[1], X3r.shape[2], _LANES)
+    X5i = X3i.reshape(C // 2, 2, X3i.shape[1], X3i.shape[2], _LANES)
+    auto = jnp.sum(X5r * X5r + X5i * X5i, axis=(0, 2))      # (2, R, 128)
+    xre = jnp.sum(X5r[:, 1] * X5r[:, 0]
+                  + X5i[:, 1] * X5i[:, 0], axis=(0, 1))[None]
+    xim = jnp.sum(X5i[:, 1] * X5r[:, 0]
+                  - X5r[:, 1] * X5i[:, 0], axis=(0, 1))[None]
+    return auto, xre, xim
+
+
 def _unpack_tabs(refs, counts):
     tabs = {}
     i = 0
@@ -347,14 +362,7 @@ def _v3_kernel(cur_ref, head_ref, mrow_ref, *refs, counts, C, R, Sseg, navr,
                                   pre=pre, kv=kv, hr=blk // Sseg,
                                   vmask=vmask)
         if paircross:
-            X5r = X3r.reshape(C // 2, 2, Sseg, R, _LANES)
-            X5i = X3i.reshape(C // 2, 2, Sseg, R, _LANES)
-            auto = jnp.sum(X5r * X5r + X5i * X5i, axis=(0, 2))  # (2, R, 128)
-            xre = jnp.sum(X5r[:, 1] * X5r[:, 0]
-                          + X5i[:, 1] * X5i[:, 0], axis=(0, 1))[None]
-            xim = jnp.sum(X5i[:, 1] * X5r[:, 0]
-                          - X5r[:, 1] * X5i[:, 0], axis=(0, 1))[None]
-            return auto, xre, xim
+            return _pair_reduce(X3r, X3i, C)
         auto = jnp.sum(X3r * X3r + X3i * X3i, axis=1)      # (Co, R, 128)
         if auto_only:
             return auto, None, None
@@ -467,16 +475,7 @@ def _v3_fused_kernel(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref, yh_ref,
                                kprec=kprec, cplx=cplx, pre=True, kv=kv,
                                hr=blk // Sseg, vmask=vmask)
         if paircross:
-            # interleaved (x_part, y_part) virtual-channel pairs: reduce
-            # pairwise and over parts (see _v3_kernel docstring)
-            X5r = X3r.reshape(C // 2, 2, Sseg, R, _LANES)
-            X5i = X3i.reshape(C // 2, 2, Sseg, R, _LANES)
-            auto = jnp.sum(X5r * X5r + X5i * X5i, axis=(0, 2))
-            xre = jnp.sum(X5r[:, 1] * X5r[:, 0]
-                          + X5i[:, 1] * X5i[:, 0], axis=(0, 1))[None]
-            xim = jnp.sum(X5i[:, 1] * X5r[:, 0]
-                          - X5r[:, 1] * X5i[:, 0], axis=(0, 1))[None]
-            return auto, xre, xim
+            return _pair_reduce(X3r, X3i, C)
         auto = jnp.sum(X3r * X3r + X3i * X3i, axis=1)
         if auto_only:
             return auto, None, None
@@ -602,7 +601,7 @@ def _v3_pipeline(x, y, norm, vrow=None, *, navr, nwins, noverlap, taps_key,
                  for co in out_cos]
     out_shape = [jax.ShapeDtypeStruct((co, R, _LANES), jnp.float32)
                  for co in out_cos]
-    passes = {"highest": 6, "bf16x3": 3, "bf16": 1}[kprec]
+    passes = KERNEL_PASSES[kprec]
     mm = (2 + 2 * passes + 3 * passes) * _LANES * _LANES * N
     flops = 2 * nb * unroll * mm
     # the head block needs >= 8 sublanes on TPU; blk is a multiple of 8
@@ -982,7 +981,7 @@ def v3_dispatched_flops(nwins, noverlap, navr, nch, ntaps=0,
     R, hr, Sseg, blk, L = geom
     C = nch + 1
     N = C * _LANES
-    passes = {"highest": 6, "bf16x3": 3, "bf16": 1}[kprec]
+    passes = KERNEL_PASSES[kprec]
     nchunks = -(-navr // Sseg)
     # welch kernel: gather (2 exact passes — zero when the sublane-aligned
     # slice gather applies) + stage A (2 logical) + stage B (3, Karatsuba)

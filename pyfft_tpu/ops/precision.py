@@ -20,10 +20,14 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["split_bf16", "dot_bf16x3", "KERNEL_PRECISIONS",
-           "resolve_kernel_precision"]
+           "KERNEL_PASSES", "resolve_kernel_precision"]
 
 #: precision names accepted by the kernel tier
 KERNEL_PRECISIONS = ("highest", "bf16x3", "bf16")
+
+#: MXU passes per logical matmul at each kernel precision — the single
+#: source of truth for dispatched-FLOP accounting (bf16x6 emulates f32)
+KERNEL_PASSES = {"highest": 6, "bf16x3": 3, "bf16": 1}
 
 
 def resolve_kernel_precision(precision=None) -> str:

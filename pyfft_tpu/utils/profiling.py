@@ -133,14 +133,15 @@ _LINK_PEAKS = {
 def interconnect_peaks(kind=None):
     """(ICI one-way GB/s per link, DCN GB/s per host) for ``kind`` (defaults
     to the current device family; virtual CPU meshes project as 'v5e'
-    because that is the hardware the framework targets)."""
+    because that is the hardware the framework targets — pass
+    ``kind='cpu'`` explicitly for the host-interconnect entry)."""
     if kind is None:
         dev = jax.devices()[0]
-        kind = getattr(dev, "device_kind", "cpu").lower()
+        dk = getattr(dev, "device_kind", "cpu").lower()
         for key in _LINK_PEAKS:
-            if key in kind:
+            if key != "cpu" and key in dk:
                 return _LINK_PEAKS[key]
-        return _LINK_PEAKS["v5e"]
+        return _LINK_PEAKS["v5e"]      # cpu / unknown: project the target HW
     return _LINK_PEAKS[kind]
 
 

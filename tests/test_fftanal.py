@@ -251,3 +251,29 @@ def test_calcAmp_calcPh1_preallocate():
     assert abs(np.asarray(fa.ph)[ipk2] + 0.4) < 0.15
     fa.__preallocateFFT__()
     assert fa.Pxy.dtype == np.complex128 and fa.Pxy.size == 0
+
+
+def test_fftpwelch_class_lazy_segments_delegate():
+    """After fftanal.fftpwelch() on a fast path (pallas), the class must
+    still expose the per-segment arrays (delegated to the lazy fftinfo
+    container) and crosscorr_stft must work — the reference contract."""
+    from pyfft_tpu.fftanal import fftanal
+    rng = np.random.default_rng(2)
+    nt = 1 << 14
+    t = np.arange(nt) / 1e3
+    x = np.sin(2 * np.pi * 97.0 * t) + 0.1 * rng.standard_normal(nt)
+    y = np.sin(2 * np.pi * 97.0 * t - 0.5) + 0.1 * rng.standard_normal(nt)
+    fa = fftanal(t, x, y, tper=0.512, windowoverlap=0.5, plotit=False,
+                 verbose=False, fft_backend="pallas")
+    fa.fftpwelch()
+    assert "Pxx_seg" not in fa.__dict__          # still lazy after update()
+    seg_cls = np.asarray(fa.Pxx_seg)             # delegate -> fill -> cache
+    assert "Xfft_seg" in fa.__dict__
+    fa.crosscorr_stft()                          # consumes the seg arrays
+    assert hasattr(fa, "Rxy_seg") and hasattr(fa, "corrcoef_seg")
+    # matches an eager xla run
+    fb = fftanal(t, x, y, tper=0.512, windowoverlap=0.5, plotit=False,
+                 verbose=False, fft_backend="xla")
+    fb.fftpwelch()
+    np.testing.assert_allclose(seg_cls, np.asarray(fb.Pxx_seg),
+                               rtol=1e-9, atol=1e-12)
