@@ -243,6 +243,19 @@ def main():
         print(f"hilbert: {dt * 1e3:.3f} ms  {nt / dt:.3e} samp/s  "
               f"util {fl / dt / 1e12 / mm_peak:.3f}  "
               f"hbm {bb / dt / 1e9:.0f} GB/s", flush=True)
+
+        @jax.jit
+        def run_slab(amd):
+            env, ph = _envelope_phase_dev(amd, nfft=nt, axis=-1, slab=True)
+            return jnp.sum(env) + jnp.sum(ph)
+
+        try:
+            dts = timeit(lambda: run_slab(amd))
+            print(f"hilbert slab: {dts * 1e3:.3f} ms  {nt / dts:.3e} samp/s",
+                  flush=True)
+        except Exception as e:
+            print(f"hilbert slab FAILED: {type(e).__name__}: {e}",
+                  flush=True)
         # envelope-only variant cost (is arctan2 the bottleneck?)
 
         @jax.jit
