@@ -152,6 +152,75 @@ def main():
     assert errs < 5e-5, errs
     results["kernels"]["stft_v3"] = {"rel_err_vs_f64": errs}
 
+    # ---- round-4 kernels: natural-order STFT store already covered above
+    # (stft_pallas3 now writes natural order); packed variants + slab ----
+    from pyfft_tpu.ops.pallas_welch3 import (welch_auto_packed,
+                                             welch_pair_packed,
+                                             packed_parts_geometry,
+                                             packed_pair_geometry,
+                                             welch_fir_pallas3)
+    nt4 = 1 << 17
+    x4 = rng.standard_normal(nt4).astype(np.float32)
+    y4 = rng.standard_normal(nt4).astype(np.float32)
+    plan4 = seg.plan_segments(nt4, nwins=2048, windowoverlap=0.5)
+    win4 = np.hanning(2049)[:-1]
+    assert packed_parts_geometry(plan4.navr, plan4.nwins, plan4.noverlap)
+    ref_auto = welch_fir_pallas3(
+        x4, np.zeros((0, nt4), np.float32), win4, plan4.nnyquist,
+        1.0 / plan4.navr, navr=plan4.navr, nwins=plan4.nwins,
+        noverlap=plan4.noverlap, detrend_style=1, interpret=False)[0]
+    got_auto = welch_auto_packed(
+        x4, win4, plan4.nnyquist, 1.0 / plan4.navr, navr=plan4.navr,
+        nwins=plan4.nwins, noverlap=plan4.noverlap, detrend_style=1,
+        interpret=False)
+    errp = float(np.abs(np.asarray(got_auto) - np.asarray(ref_auto)).max()
+                 / np.abs(np.asarray(ref_auto)).max())
+    print("packed auto welch: rel-err %.2e" % errp, flush=True)
+    assert errp < 1e-4, errp
+    results["kernels"]["welch_auto_packed"] = {"rel_err_vs_v3": errp}
+
+    assert packed_pair_geometry(plan4.navr, plan4.nwins, plan4.noverlap)
+    ref_pair = welch_fir_pallas3(
+        x4, y4[None], win4, plan4.nnyquist, 1.0 / plan4.navr,
+        navr=plan4.navr, nwins=plan4.nwins, noverlap=plan4.noverlap,
+        detrend_style=1, interpret=False)
+    got_pair = welch_pair_packed(
+        x4, y4, win4, plan4.nnyquist, 1.0 / plan4.navr, navr=plan4.navr,
+        nwins=plan4.nwins, noverlap=plan4.noverlap, detrend_style=1,
+        interpret=False)
+    errq = max(float(np.abs(np.asarray(a) - np.asarray(b)).max()
+                     / (np.abs(np.asarray(b)).max() + 1e-30))
+               for a, b in zip(got_pair, ref_pair))
+    print("pair-packed cross welch: rel-err %.2e" % errq, flush=True)
+    assert errq < 1e-4, errq
+    results["kernels"]["welch_pair_packed"] = {"rel_err_vs_v3": errq}
+
+    # ---- slab-fused analytic-signal middle section ----
+    from pyfft_tpu.hilbert import (_analytic_factored,
+                                   _analytic_factored_slab)
+    from pyfft_tpu.ops.mxu_fft import balanced3_factorization
+    import jax.numpy as jnp
+    nf5 = 1 << 18
+    fac5 = balanced3_factorization(nf5)
+    x5 = rng.standard_normal(nf5).astype(np.float32)
+    zr0, zi0 = _analytic_factored(jnp.asarray(x5), nfft=nf5, factors=fac5,
+                                  prec="bf16x3")
+    try:
+        zr1, zi1 = _analytic_factored_slab(jnp.asarray(x5), nfft=nf5,
+                                           factors=fac5, prec="bf16x3",
+                                           interpret=False)
+        scl5 = float(np.abs(np.asarray(zr0)).max())
+        errh = max(float(np.abs(np.asarray(zr1) - np.asarray(zr0)).max()),
+                   float(np.abs(np.asarray(zi1)
+                                - np.asarray(zi0)).max())) / scl5
+        print("slab hilbert: rel-err %.2e" % errh, flush=True)
+        assert errh < 1e-3, errh
+        results["kernels"]["hilbert_slab"] = {"rel_err_vs_xla_mid": errh}
+    except Exception as e:                              # Mosaic rejection
+        print("slab hilbert FAILED: %s: %s" % (type(e).__name__, e),
+              flush=True)
+        results["kernels"]["hilbert_slab"] = {"error": str(e)[:300]}
+
     import json
     import os
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
