@@ -43,6 +43,13 @@ def main():
         return 1
 
     import jax
+    try:
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(here, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     from pyfft_tpu.ops.pallas_fir import fir_pallas
     from pyfft_tpu import filters as flt
     import pyfft_tpu as ft
