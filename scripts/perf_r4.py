@@ -83,7 +83,7 @@ def main():
         print(f"plain C=1: {dt * 1e3:.3f} ms  {nt / dt:.3e} samp/s  "
               f"util {fl / dt / 1e12 / mm_peak:.3f}", flush=True)
 
-        for parts in (16, 8, 4):
+        for parts in (16,):
             geom = packed_parts_geometry(plan.navr, plan.nwins,
                                          plan.noverlap, parts)
             if geom is None:
@@ -214,16 +214,7 @@ def main():
             dtb = timeit(lambda: run_br(yd))
             print(f"fir block_rows={br}: {dtb * 1e3:.3f} ms  "
                   f"{bb / dtb / 1e9:.0f} GB/s", flush=True)
-        # shorter taps for comparison (one band block)
-        taps1 = bp
-
-        @jax.jit
-        def run1(yd):
-            return jnp.sum(fir_pallas(yd, taps1, interpret=not on_tpu))
-
-        dt1 = timeit(lambda: run1(yd))
-        print(f"fir ntaps={len(taps1)}: {dt1 * 1e3:.3f} ms  "
-              f"{bb / dt1 / 1e9:.0f} GB/s", flush=True)
+            break                    # one alternative blocking is enough
 
     elif which == "hilb":
         from pyfft_tpu.hilbert import (_envelope_phase_dev,
