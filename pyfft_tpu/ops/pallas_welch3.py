@@ -1083,13 +1083,13 @@ def _stft_store(xr_ref, xi_ref, X3r, X3i, k, *, Sseg, R, natural):
     the host epilogue otherwise materializes (a full HBM round-trip of the
     (navr, nwins) result, which dominated the STFT config's wall time).
     """
-    C = X3r.shape[0]
     if natural:
-        nwins = R * _LANES
-        xr_ref[:, k * Sseg:(k + 1) * Sseg] = jnp.swapaxes(
-            X3r, -1, -2).reshape(C, Sseg, nwins)
-        xi_ref[:, k * Sseg:(k + 1) * Sseg] = jnp.swapaxes(
-            X3i, -1, -2).reshape(C, Sseg, nwins)
+        # transposed tile (.., 128, R): its row-major flatten IS natural
+        # DFT order, so the host reshape to (.., nwins) is a free bitcast.
+        # (The in-kernel (128, R) -> nwins flatten itself is an unsupported
+        # Mosaic shape cast — leave the collapse to XLA.)
+        xr_ref[:, k * Sseg:(k + 1) * Sseg] = jnp.swapaxes(X3r, -1, -2)
+        xi_ref[:, k * Sseg:(k + 1) * Sseg] = jnp.swapaxes(X3i, -1, -2)
     else:
         xr_ref[:, k * Sseg:(k + 1) * Sseg] = X3r
         xi_ref[:, k * Sseg:(k + 1) * Sseg] = X3i
@@ -1174,9 +1174,9 @@ def _v3_stft_pipeline(x, y, norm, *, navr, nwins, noverlap, win_key,
                    for t in tables]
     seg_blk = unroll * Sseg
     if natural:
-        out_specs = [pl.BlockSpec((Co, seg_blk, nwins),
-                                  lambda b: (0, b, 0))] * 2
-        out_shape = [jax.ShapeDtypeStruct((Co, nseg_pad, nwins),
+        out_specs = [pl.BlockSpec((Co, seg_blk, _LANES, R),
+                                  lambda b: (0, b, 0, 0))] * 2
+        out_shape = [jax.ShapeDtypeStruct((Co, nseg_pad, _LANES, R),
                                           jnp.float32)] * 2
     else:
         out_specs = [pl.BlockSpec((Co, seg_blk, R, _LANES),
@@ -1250,9 +1250,12 @@ def _v3_stft_pipeline(x, y, norm, *, navr, nwins, noverlap, win_key,
         )(sig2, sig2, m_row, *map(jnp.asarray, tables))
 
     if natural:
-        # the kernel already wrote natural DFT bin order (in-VMEM tile
-        # transpose) — only the padded-segment slice and scale remain
-        return Xr[:, :navr] * norm, Xi[:, :navr] * norm
+        # the kernel wrote transposed (128, R) tiles whose row-major
+        # flatten is natural DFT order: the reshape collapses contiguous
+        # trailing dims (a bitcast), so only slice + scale cost anything
+        Xr = Xr[:, :navr].reshape(Co, navr, nwins)
+        Xi = Xi[:, :navr].reshape(Co, navr, nwins)
+        return Xr * norm, Xi * norm
     # natural order: (Co, nseg, R, 128)[c, s, q, p] -> bin k = q + R p
     Xr = Xr[:, :navr].transpose(0, 1, 3, 2).reshape(Co, navr, nwins) * norm
     Xi = Xi[:, :navr].transpose(0, 1, 3, 2).reshape(Co, navr, nwins) * norm
