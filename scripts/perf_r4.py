@@ -48,6 +48,14 @@ def main():
 
     on_tpu = jax.default_backend() != "cpu"
     print("device:", jax.devices()[0], flush=True)
+
+    @jax.jit
+    def _scal(a):
+        return a + 1.0
+
+    floor = timeit(lambda: _scal(jnp.float32(1.0)), iters=16, warmup=4)
+    print(f"dispatch floor (jitted scalar add): {floor * 1e3:.3f} ms",
+          flush=True)
     mm_peak = prof.device_peaks()[0]
     rng = np.random.default_rng(0)
     fs = 1e6
