@@ -407,7 +407,7 @@ def update_baseline_md(rows, headline, path="BASELINE.md"):
         f.write(txt)
 
 
-def wait_for_device(max_wait_s=1800, poll_s=45):
+def wait_for_device(max_wait_s=2700, poll_s=20):
     """Block until the accelerator answers a trivial probe (the remote
     tunnel wedges transiently; a wedged first call would otherwise hang
     inside the process forever).  Probes in subprocesses so they are
