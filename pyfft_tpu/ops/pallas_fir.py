@@ -50,6 +50,26 @@ PALLAS_FIR_MAX_TAPS = 1024  # m = 8 shifted matmuls; beyond this use overlap-sav
 
 _LANES = 128
 
+# scoped-VMEM budget for one grid step's double-buffered blocks.  The chip
+# limit is 16 MiB and Mosaic charges ~2x (in + out) for the pipelined
+# blocks; leave headroom for the band tables, halos, and stack.
+_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _fit_block_rows(rows, G, m):
+    """Largest power-of-two-reduced ``rows <= rows_in`` whose grid step fits
+    the scoped-VMEM budget (``G`` channel blocks in + out, double-buffered).
+
+    Without this, ``block_rows=1024`` at 8 grouped channels dispatches a
+    16.8 MiB step and the Mosaic compile fails with a scoped-vmem OOM
+    (observed on TPU v5e); clamping trades blocking granularity for a
+    guaranteed compile."""
+    step_bytes = lambda r: 2 * (2 * G * r * _LANES * 4           # noqa: E731
+                                + G * max(m, 1) * _LANES * 4)
+    while rows > 8 and step_bytes(rows) > _VMEM_BUDGET:
+        rows //= 2
+    return max(rows, 8)
+
 
 @lru_cache(maxsize=16)
 def _band_blocks(taps_key, kprec):
@@ -237,6 +257,9 @@ def fir_pallas(x, taps, block_rows=512, interpret=None, precision=None,
         x = x[None, :]
     m = -(-(K - 1) // _LANES)
     rows = int(max(8, min(block_rows, 1024)))
+    # G mirrors _fir_call's channel grouping (1 when transposed)
+    rows = _fit_block_rows(rows, 1 if transposed_out else min(x.shape[0], 8),
+                           m)
 
     bands = _band_blocks(tuple(taps.tolist()), kprec)
     bands_flat = tuple(b for blk in bands for b in blk)
@@ -410,6 +433,13 @@ def fir_transpose_pallas(x, y, taps, nrows_out, interpret=None,
         raise ValueError("fir_transpose_pallas needs nt % 128 == 0")
     m = -(-(K - 1) // _LANES)
     rows = fir_transpose_blocking(nt, nrows_out, K, block_rows)
+    if rows is not None:
+        # VMEM fit: one step moves C blocks in + one (rows, C*128) out,
+        # double-buffered.  Halving keeps the divisibility invariants.
+        while rows > m and 2 * (2 * C * rows * _LANES * 4) > _VMEM_BUDGET:
+            rows //= 2
+        if rows <= m:
+            rows = None
     if rows is None:
         raise ValueError(
             f"no row blocking > m={m} divides nr={nt // _LANES} and "

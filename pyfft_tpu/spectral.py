@@ -717,6 +717,11 @@ def fft_pwelch(tvec, sigx, sigy, tbounds=None, Navr=None, windowoverlap=None,
         tbounds = [tvec[0], tvec[-1]]
 
     sigx = np.asarray(sigx)
+    if sigy is None:
+        # auto-spectra shorthand, mirroring fftanal.init's ``sigy=None ->
+        # sigx`` rule (reference fft_analysis.py:1714); the function-API
+        # reference would die on an object array here
+        sigy = sigx
     sigy = np.asarray(sigy)
     if onesided is None:
         onesided = not (np.iscomplexobj(sigx) or np.iscomplexobj(sigy))

@@ -36,3 +36,23 @@ def test_1d_and_fir_filter_backend():
 def test_too_many_taps_raises():
     with pytest.raises(ValueError, match="overlap-save"):
         fir_pallas(np.zeros(100), np.zeros(PALLAS_FIR_MAX_TAPS + 1))
+
+
+def test_block_rows_clamped_to_vmem_budget():
+    """block_rows=1024 at 8 grouped channels would dispatch a 16.8 MiB
+    double-buffered grid step — over the 16 MiB scoped-VMEM limit (observed
+    Mosaic compile OOM on TPU v5e).  The clamp must shrink the blocking,
+    and the result must stay exact."""
+    from pyfft_tpu.ops.pallas_fir import _fit_block_rows
+    assert _fit_block_rows(1024, 8, 2) <= 512
+    assert _fit_block_rows(512, 8, 2) == 512      # production default fits
+    assert _fit_block_rows(1024, 1, 2) == 1024    # single channel fits
+
+    rng = np.random.default_rng(7)
+    nch, nt = 8, 4096
+    x = rng.standard_normal((nch, nt)).astype(np.float32)
+    taps = flt.firwin(257, 0.3).astype(np.float32)
+    got = np.asarray(fir_pallas(x, taps, block_rows=1024))
+    want = np.stack([np.convolve(x[c], taps, mode="full")[:nt]
+                     for c in range(nch)])
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

@@ -328,3 +328,15 @@ def test_fft_pwelch_packed_dispatch_env(monkeypatch):
     np.testing.assert_allclose(rp[2], rx[2], rtol=5e-5, atol=1e-5 * scl)
     np.testing.assert_allclose(rp[1], rx[1], rtol=5e-5, atol=1e-5 * scl)
     np.testing.assert_allclose(rp[3], rx[3], rtol=5e-5, atol=1e-5 * scl)
+
+
+def test_sigy_none_is_auto_spectra():
+    """fft_pwelch(sigy=None) follows fftanal.init's sigy->sigx rule
+    (reference fft_analysis.py:1714) instead of dying on an object array."""
+    fs, N = 1e3, 4096
+    t = np.arange(N) / fs
+    x = np.sin(2 * np.pi * 50.0 * t) + 0.01 * np.random.default_rng(3).standard_normal(N)
+    out_none = ft.fft_pwelch(t, x, None, Navr=4, plotit=False, verbose=False)
+    out_same = ft.fft_pwelch(t, x, x, Navr=4, plotit=False, verbose=False)
+    np.testing.assert_allclose(np.asarray(out_none[2]), np.asarray(out_same[2]))
+    np.testing.assert_allclose(np.asarray(out_none[3]), np.asarray(out_same[3]))
