@@ -1150,9 +1150,10 @@ def _v3_stft_pipeline(x, y, norm, *, navr, nwins, noverlap, win_key,
     # the transposed in-kernel natural store makes the output tile's minor
     # dim R; Mosaic pads that to the 128-lane width, so for R < 128 the
     # VMEM output window inflates 128/R-fold (OOM at production unrolls)
-    # and the store DMA moves 128/R x the useful bytes.  Measured on-chip,
-    # the legacy layout + XLA transpose epilogue runs at ~92% of book HBM
-    # bandwidth, so the natural store only pays when it is pad-free.
+    # and the store DMA moves 128/R x the useful bytes.  Measured on-chip
+    # (amortized in-jit repeats), the legacy layout + XLA transpose
+    # epilogue already runs at a healthy fraction of the achievable HBM
+    # rate, so the natural store only pays when it is pad-free.
     natural = natural and R == _LANES
     nchunks = -(-navr // Sseg)
     unroll = max(1, min(max(_UNROLL_CAP, 64 // C), nchunks,
