@@ -106,21 +106,40 @@ def _band_blocks(taps_key, kprec):
     return tuple(blocks)
 
 
-def _banded_matmul(x, band_refs, m, rows, kprec):
-    """``sum_s x[s:rows+s] @ B_s`` over the pre-split band blocks."""
+def _band_dot(a, s, band_refs, kprec):
+    """``a @ B_s`` with the flat pre-split band-table layout."""
+    if kprec == "bf16x3":
+        return dot_bf16x3(a, band_refs[2 * s][...], band_refs[2 * s + 1][...])
+    if kprec == "bf16":
+        return jnp.dot(a.astype(jnp.bfloat16), band_refs[s][...],
+                       preferred_element_type=jnp.float32)
+    return jnp.dot(a, band_refs[s][...],
+                   precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+
+
+def _banded_matmul(x, h, band_refs, m, rows, kprec):
+    """``sum_s x_all[s:rows+s] @ B_s`` with ``x_all = [h (m rows); x]``.
+
+    Shift-after-product form: every band multiplies the UNSLICED tile
+    (``P_s = x @ B_s``) and alignment happens on the outputs —
+    ``contribution_s = [H_s[s:m]; P_s[:rows-(m-s)]]`` with ``H_s = h @
+    B_s`` tiny halo products.  The naive form (concatenate halo+tile,
+    three sublane-shifted input slices per channel) cost more VPU shuffle
+    time than the matmuls themselves: measured on-chip, the whole kernel
+    ran at the serial sum of DMA and shuffle (~4.6 ms for 8x2^24) while
+    an identical kernel without the slices hit the DMA roofline (~2.9 ms,
+    compute fully hidden).  This form keeps one m-row concat per band
+    instead of a full-tile concat plus per-band slices."""
     acc = None
     for s in range(m + 1):
-        xs = x[s:rows + s]
-        if kprec == "bf16x3":
-            t = dot_bf16x3(xs, band_refs[2 * s][...], band_refs[2 * s + 1][...])
-        elif kprec == "bf16":
-            t = jnp.dot(xs.astype(jnp.bfloat16), band_refs[s][...],
-                        preferred_element_type=jnp.float32)
+        P = _band_dot(x, s, band_refs, kprec)                # (rows, 128)
+        if s == m:
+            c = P
         else:
-            t = jnp.dot(xs, band_refs[s][...],
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
-        acc = t if acc is None else acc + t
+            H = _band_dot(h, s, band_refs, kprec)            # (m, 128)
+            c = jnp.concatenate([H[s:], P[:rows - (m - s)]], axis=0)
+        acc = c if acc is None else acc + c
     return acc
 
 
@@ -130,12 +149,8 @@ def _fir_kernel(x_ref, halo_ref, *refs, m, rows, kprec, transposed, G=1):
     well below the achievable HBM rate)."""
     band_refs, out_ref = refs[:-1], refs[-1]
     for g in range(G):
-        if m == 0:       # taps fit one block row: no halo stream
-            x = x_ref[g]
-        else:
-            x = jnp.concatenate([halo_ref[g, 0], x_ref[g]],
-                                axis=0)                      # (m+R, 128)
-        acc = _banded_matmul(x, band_refs, m, rows, kprec)
+        h = None if m == 0 else halo_ref[g, 0]
+        acc = _banded_matmul(x_ref[g], h, band_refs, m, rows, kprec)
         if transposed:
             out_ref[...] = acc
         else:
@@ -303,23 +318,9 @@ def _fir_t_kernel(x_ref, y_ref, xh_ref, yh_ref, srow_ref, *refs, m, rows,
             blk = x_ref[...] if c == 0 else y_ref[c - 1]     # (rows, 128)
             if m:
                 h = xh_ref[0] if c == 0 else yh_ref[c - 1, 0]
-                xfull = jnp.concatenate([h, blk], axis=0)
             else:
-                xfull = blk
-            acc = None
-            for s in range(m + 1):
-                xs = xfull[s:rows + s]
-                if kprec == "bf16x3":
-                    t = dot_bf16x3(xs, band_refs[2 * s][...],
-                                   band_refs[2 * s + 1][...])
-                elif kprec == "bf16":
-                    t = jnp.dot(xs.astype(jnp.bfloat16), band_refs[s][...],
-                                preferred_element_type=jnp.float32)
-                else:
-                    t = jnp.dot(xs, band_refs[s][...],
-                                precision=jax.lax.Precision.HIGHEST,
-                                preferred_element_type=jnp.float32)
-                acc = t if acc is None else acc + t
+                h = None
+            acc = _banded_matmul(blk, h, band_refs, m, rows, kprec)
             if sub:
                 acc = acc - srow_ref[:, c * _LANES:(c + 1) * _LANES]
             out_ref[:, c * _LANES:(c + 1) * _LANES] = acc
