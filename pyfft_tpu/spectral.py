@@ -166,8 +166,11 @@ def Cxy_Cxy2(Pxx, Pyy, Pxy, ibg=None):
     if Pxx.ndim < Pyy.ndim:
         Pxx = Pxx.reshape(Pxx.shape + (1,) * (Pyy.ndim - Pxx.ndim))
     denom = np.abs(Pxx) * np.abs(Pyy)
-    Cxy2 = Pxy * np.conj(Pxy) / denom
-    Cxy = Pxy / np.sqrt(denom)
+    # zero-power bins yield NaN coherence, exactly like the reference —
+    # intentional, so don't let numpy warn about the 0/0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        Cxy2 = Pxy * np.conj(Pxy) / denom
+        Cxy = Pxy / np.sqrt(denom)
     if ibg is None:
         return Cxy, Cxy2
     iCxy = np.imag(Cxy) / (1.0 - np.real(Cxy))
