@@ -53,6 +53,24 @@ def main():
                                rtol=1e-5, atol=1e-8)
     np.testing.assert_allclose(Pxy.T, np.asarray(ref["Pxy"]),
                                rtol=1e-5, atol=1e-8)
+
+    # complex/two-sided (Doppler-IQ) path: (re, im) channel pairs, halo
+    # ppermute + psum still crossing the process boundary
+    t = np.arange(nt) / 1e3
+    zc = (np.exp(1j * 2 * np.pi * 83.0 * t)
+          + 0.1 * (rng.standard_normal(nt) + 1j * rng.standard_normal(nt)))
+    yc = (np.exp(1j * (2 * np.pi * 83.0 * t - 0.4))[None]
+          + 0.1 * (rng.standard_normal((1, nt))
+                   + 1j * rng.standard_normal((1, nt))))
+    _, Pxx_c, _, Pxy_c = par.welch_psd_sharded(
+        zc, yc, win, plan, 1e3, mesh, onesided=False, detrend_style=1)
+    ref_c = welch_cross_spectra(zc, yc, win, plan, 1e3, onesided=False,
+                                detrend_style=1)
+    sc = np.abs(np.asarray(ref_c["Pxx"])).max()
+    np.testing.assert_allclose(Pxx_c, np.asarray(ref_c["Pxx"]).real,
+                               rtol=1e-4, atol=1e-6 * sc)
+    np.testing.assert_allclose(Pxy_c.T, np.asarray(ref_c["Pxy"]),
+                               rtol=1e-4, atol=1e-6 * sc)
     print(f"DISTRIBUTED-OK pid={pid}", flush=True)
 
 
