@@ -538,8 +538,32 @@ def wait_for_device(max_wait_s=2700, poll_s=20):
     return False
 
 
+def _install_watchdog(seconds=4500):
+    """If the tunnel wedges mid-run the process would hang inside a device
+    call forever and the driver would record NO output at all; a SIGALRM
+    watchdog guarantees the one JSON line the driver needs."""
+    import signal
+
+    def _fire(signum, frame):
+        print(json.dumps({
+            "metric": "welch_psd_fir_chain_throughput",
+            "value": 0.0,
+            "unit": "samples/s/chip",
+            "vs_baseline": 0.0,
+            "error": f"bench watchdog: device wedged (> {seconds}s)",
+        }), flush=True)
+        os._exit(0)
+
+    try:
+        signal.signal(signal.SIGALRM, _fire)
+        signal.alarm(seconds)
+    except (ValueError, AttributeError, OSError):
+        pass                      # non-main thread / non-posix: no watchdog
+
+
 def main():
     here = os.path.dirname(os.path.abspath(__file__))
+    _install_watchdog()
     try:
         # persist compiled executables across processes — the remote-tunnel
         # compile path is slow (minutes per kernel on a bad day), so a warm
