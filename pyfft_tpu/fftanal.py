@@ -798,8 +798,10 @@ class fftanal(Struct):
             _ax.set_xlabel(xlbl, **afont)
         if titl is not None:
             _ax.set_title(titl, **afont)
-        if _ax.get_xlim()[0] == 0:
-            _ax.set_xlim(0, 1.01 * scl * freq[-1])
+        if _ax.get_xlim()[0] == 0 or _ax.get_xscale() == "log":
+            # a log x-axis cannot hold the negative half-axis; only pin
+            # the right limit there instead of letting matplotlib warn
+            _ax.set_xlim(right=1.01 * scl * freq[-1])
         else:
             _ax.set_xlim(-1.01 * scl * freq[-1], 1.01 * scl * freq[-1])
         plt.draw()
