@@ -219,7 +219,7 @@ def _analytic_factored(x, *, nfft, factors, prec):
     return zr, zi
 
 
-def _hilb_slab_kernel(ar_ref, ai_ref, tbr_ref, tbi_ref, tcr_ref, tci_ref,
+def _hilb_slab_kernel(ar_ref, ai_ref,
                       c2_ref, s2_ref, c3_ref, s3_ref, t2r_ref, t2i_ref,
                       or_ref, oi_ref, *, n1, n2, n3, nyq, P):
     """Stages 2/3 + analytic mask + inverse 3'/2' of the factored chain,
@@ -230,25 +230,20 @@ def _hilb_slab_kernel(ar_ref, ai_ref, tbr_ref, tbi_ref, tcr_ref, tci_ref,
     slab load and one slab store bracket all 16 matmuls, so the chain's
     HBM traffic drops from ~7 full-array round-trips to ~3.  Table
     symmetry (DFT matrices are symmetric; inverse = same cos, negated sin)
-    keeps every contraction a plain row-major ``jnp.dot``.
+    keeps every contraction a plain row-major ``jnp.dot``.  The per-k1
+    stage-1 twiddles are applied by XLA *before* the call (they fuse into
+    the stage-1 matmul epilogue; as in-kernel ``(1, n2)`` blocks their
+    BlockSpecs were Mosaic-illegal — second-to-last dim 1).
     """
     import jax.numpy as jnp
 
     k1 = pl.program_id(0)
     Ar = ar_ref[0]                               # (n2, n3): (b, c)
     Ai = ai_ref[0]
-    tbr = jnp.transpose(tbr_ref[...])            # (n2, 1)
-    tbi = jnp.transpose(tbi_ref[...])
-    tcr = tcr_ref[...]                           # (1, n3)
-    tci = tci_ref[...]
 
     def dot(a, b):
         return jnp.dot(a, b, precision=P,
                        preferred_element_type=jnp.float32)
-
-    # stage-1 twiddles W_N^{(b n3 + c) k1}, applied per slab
-    Ar, Ai = Ar * tbr - Ai * tbi, Ar * tbi + Ai * tbr
-    Ar, Ai = Ar * tcr - Ai * tci, Ar * tci + Ai * tcr
 
     # stage 2: contract b -> (k2, c)
     C2, S2 = c2_ref[...], s2_ref[...]
@@ -276,12 +271,11 @@ def _hilb_slab_kernel(ar_ref, ai_ref, tbr_ref, tbi_ref, tcr_ref, tci_ref,
     Bi = dot(Xi, C3) - dot(Xr, S3)
     # conj mid twiddle (same tables, mirrored combine)
     Br, Bi = Br * t2r + Bi * t2i, Bi * t2r - Br * t2i
-    # inverse stage 2': contract k2 -> (b, c)
+    # inverse stage 2': contract k2 -> (b, c); the conj stage-1 twiddles
+    # are applied by XLA after the call (fused into the final-stage
+    # matmul prologue), mirroring the forward side
     Ar = dot(C2, Br) + dot(S2, Bi)
     Ai = dot(C2, Bi) - dot(S2, Br)
-    # conj stage-1 twiddles
-    Ar, Ai = Ar * tcr + Ai * tci, Ai * tcr - Ar * tci
-    Ar, Ai = Ar * tbr + Ai * tbi, Ai * tbr - Ar * tbi
 
     or_ref[0] = Ar
     oi_ref[0] = Ai
@@ -309,8 +303,16 @@ def _analytic_factored_slab(x, *, nfft, factors, prec, interpret):
     ang2t = ((2.0 * np.pi / (n2 * n3))
              * np.outer(np.arange(n2), np.arange(n3)))   # (k2, c)
     f32 = np.float32
-    tables = [f32(np.cos(ang_b)), f32(-np.sin(ang_b)),
-              f32(np.cos(ang_c)), f32(-np.sin(ang_c))]
+    # stage-1 twiddles W_N^{(b n3 + c) k1}: applied here (XLA fuses the
+    # elementwise complex rotation into the stage-1 matmul epilogue) —
+    # their per-k1 (1, n2)/(1, n3) kernel blocks were Mosaic-illegal
+    tbr = jnp.asarray(f32(np.cos(ang_b)))[:, :, None]
+    tbi = jnp.asarray(f32(-np.sin(ang_b)))[:, :, None]
+    tcr = jnp.asarray(f32(np.cos(ang_c)))[:, None, :]
+    tci = jnp.asarray(f32(-np.sin(ang_c)))[:, None, :]
+    Ar, Ai = Ar * tbr - Ai * tbi, Ar * tbi + Ai * tbr
+    Ar, Ai = Ar * tcr - Ai * tci, Ar * tci + Ai * tcr
+    tables = []
     n = np.arange(n2)
     a2 = (2.0 * np.pi / n2) * np.outer(n, n)
     n = np.arange(n3)
@@ -328,10 +330,6 @@ def _analytic_factored_slab(x, *, nfft, factors, prec, interpret):
         in_specs=[
             pl.BlockSpec((1, n2, n3), slab),
             pl.BlockSpec((1, n2, n3), slab),
-            pl.BlockSpec((1, n2), lambda k: (k, 0)),
-            pl.BlockSpec((1, n2), lambda k: (k, 0)),
-            pl.BlockSpec((1, n3), lambda k: (k, 0)),
-            pl.BlockSpec((1, n3), lambda k: (k, 0)),
             pl.BlockSpec((n2, n2), zero2),
             pl.BlockSpec((n2, n2), zero2),
             pl.BlockSpec((n3, n3), zero2),
@@ -348,6 +346,11 @@ def _analytic_factored_slab(x, *, nfft, factors, prec, interpret):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(Ar, Ai, *map(jnp.asarray, tables))
+
+    # conj stage-1 twiddles (mirroring the forward pre-twiddle; XLA fuses
+    # the rotation into the final-stage matmul prologue)
+    Br, Bi = Br * tcr + Bi * tci, Bi * tcr - Br * tci
+    Br, Bi = Br * tbr + Bi * tbi, Bi * tbr - Br * tbi
 
     s = np.float32(1.0 / nfft)
     A2r = Br.reshape(n1, n2 * n3)
@@ -404,8 +407,13 @@ def _envelope_phase_dev(u, *, nfft, axis, prec=None, slab=None):
                    if u.ndim == 1 and axis in (-1, 0)
                    and u.shape[-1] == nfft else None)
         if factors is not None:
-            impl = _analytic_factored_slab if slab else _analytic_factored
-            kw = {"interpret": False} if slab else {}
+            # the slab kernel's per-k1 (1, n2)/(1, n3) twiddle blocks are
+            # Mosaic-legal only when the minor dims are lane-aligned
+            # (observed: (1, 256) compiles, (1, 64) is rejected) — gate
+            # and fall back to the unfused factored chain otherwise
+            slab_ok = slab and factors[1] % 128 == 0 and factors[2] % 128 == 0
+            impl = _analytic_factored_slab if slab_ok else _analytic_factored
+            kw = {"interpret": False} if slab_ok else {}
             zr, zi = impl(u, nfft=int(nfft), factors=factors,
                           prec=resolve_kernel_precision(prec), **kw)
         else:

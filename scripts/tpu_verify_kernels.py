@@ -207,8 +207,12 @@ def main():
                                    _analytic_factored_slab)
     from pyfft_tpu.ops.mxu_fft import balanced3_factorization
     import jax.numpy as jnp
-    nf5 = 1 << 18
+    # the slab kernel's twiddle blocks need lane-aligned minor dims
+    # (n2, n3 % 128 == 0) — 2^24 factors as (256, 256, 256), in-domain;
+    # production gates on the same condition (hilbert._envelope_phase_dev)
+    nf5 = 1 << 24
     fac5 = balanced3_factorization(nf5)
+    assert fac5[1] % 128 == 0 and fac5[2] % 128 == 0, fac5
     x5 = rng.standard_normal(nf5).astype(np.float32)
     zr0, zi0 = _analytic_factored(jnp.asarray(x5), nfft=nf5, factors=fac5,
                                   prec="bf16x3")
