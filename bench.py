@@ -89,9 +89,14 @@ def measure(f, *arrs, iters=4, nrep=9, target_s=0.12):
         dev = tn / nrep
         n2 = int(min(max(nrep, round(target_s / max(dev, 1e-5))), 400))
         if n2 > 2 * nrep:
-            gn2 = _repeat_jit(f, n2)
-            tn2 = timeit(lambda: gn2(*arrs), iters=2, warmup=1)
-            dev = tn2 / n2
+            # a failed scale-up (e.g. VMEM pressure at large n2) must not
+            # discard the already-valid tn/nrep estimate
+            try:
+                gn2 = _repeat_jit(f, n2)
+                tn2 = timeit(lambda: gn2(*arrs), iters=2, warmup=1)
+                dev = tn2 / n2
+            except Exception:
+                pass
     except Exception:
         dev = t1
     return t1, min(dev, t1)
@@ -208,7 +213,7 @@ def run_configs():
     # fixed costs compare to the packing gather on this chip/runtime
     from pyfft_tpu.ops.pallas_welch3 import (welch_auto_packed,
                                              packed_parts_geometry)
-    dt_packed = dev_packed = None
+    dt_packed = dev_packed = err_packed = None
     if packed_parts_geometry(plan1.navr, plan1.nwins, plan1.noverlap):
 
         def welch1_packed(xd):
@@ -220,22 +225,26 @@ def run_configs():
 
         try:
             dt_packed, dev_packed = measure(welch1_packed, xd)
-        except Exception:
+        except Exception as e:   # record WHY, never a silent null
             dt_packed = dev_packed = None
+            err_packed = f"{type(e).__name__}: {e}"[:300]
     if dt_packed is not None and dt_packed < dt_plain:
         dt, dev, variant = dt_packed, dev_packed, "packed"
     else:
         dt, dev, variant = dt_plain, dev_plain, "plain"
     fl = v3_dispatched_flops(plan1.nwins, plan1.noverlap, plan1.navr, 0, 1)
     algo = prof.welch_flops(plan1.navr, nwins, nch=1)
-    finish({"config": 1, "what": "welch_psd_1ch_hann50",
+    row1 = {"config": 1, "what": "welch_psd_1ch_hann50",
             "samples_per_s": round(nt / dt, 1), "wall_s": dt,
             "device_s": dev,
             "mxu_util": mfu(fl, dt),
             "algo_tflops": round(algo / dt / 1e12, 3),
             "variant": variant, "wall_plain_s": dt_plain,
             "wall_packed_s": dt_packed,
-            "result_bytes": 4 * plan1.nnyquist}, fl=fl)
+            "result_bytes": 4 * plan1.nnyquist}
+    if err_packed:
+        row1["variant_error"] = err_packed
+    finish(row1, fl=fl)
 
     # ---- config 2: COLA STFT spectrogram of a chirp --------------------- #
     from pyfft_tpu.ops.pallas_welch3 import stft_pallas3
@@ -284,7 +293,7 @@ def run_configs():
     # banded-matmul kernel from XLA's physical retiling of the rank-2
     # (nch, nt) API arrays to the (nch, nr, 128) row view and back — the
     # boundary cost a chained pipeline (FIR feeding Welch) never pays
-    dev_kern = None
+    dev_kern = err_kern = None
     if nt % (512 * 128) == 0:
         from pyfft_tpu.ops.pallas_fir import _band_blocks, _fir_call
         yr3 = jax.device_put(y.reshape(nch, nt // 128, 128))
@@ -307,8 +316,9 @@ def run_configs():
 
         try:
             _, dev_kern = measure(fir_rows, yr3, halo3, *bands_j)
-        except Exception:
+        except Exception as e:
             dev_kern = None
+            err_kern = f"{type(e).__name__}: {e}"[:300]
     m3 = -(-(len(chain_taps) - 1) // 128)
     fl = 2.0 * 3 * (m3 + 1) * nch * nt * 128        # bf16x3 banded matmuls
     row3 = {"config": 3, "what": "fir_bandpass_notch_8ch",
@@ -320,6 +330,8 @@ def run_configs():
             "result_bytes": 4 * nch * nt}
     if dev_kern:
         row3["kernel_gbs"] = round(8.0 * nch * nt / dev_kern / 1e9, 1)
+    if err_kern:
+        row3["variant_error"] = err_kern
     finish(row3, fl=fl, bb=8.0 * nch * nt)
 
     # ---- config 4: Hilbert envelope/phase demodulation ------------------ #
@@ -335,7 +347,7 @@ def run_configs():
     dt, dev = measure(hilb_run, amd)
     # slab-fused middle section: measure too, keep the winner (falls back
     # cleanly if Mosaic rejects the kernel on this toolchain)
-    dt_slab = dev_slab = None
+    dt_slab = dev_slab = err_slab = None
     if on_tpu:
         def hilb_slab(amd):
             env, ph = _envelope_phase_dev(amd, nfft=nt, axis=-1, slab=True)
@@ -343,8 +355,9 @@ def run_configs():
 
         try:
             dt_slab, dev_slab = measure(hilb_slab, amd)
-        except Exception:
-            dt_slab = dev_slab = None
+        except Exception as e:   # a Mosaic rejection must be VISIBLE in
+            dt_slab = dev_slab = None   # the row, not a silent null
+            err_slab = f"{type(e).__name__}: {e}"[:300]
     variant4 = "slab" if dt_slab is not None and dt_slab < dt else "xla-mid"
     dt4 = dt if dt_slab is None else min(dt, dt_slab)
     dev4 = dev if variant4 == "xla-mid" else dev_slab
@@ -356,6 +369,8 @@ def run_configs():
             "roofline": "hbm", "variant": variant4,
             "wall_xla_mid_s": dt, "wall_slab_s": dt_slab,
             "result_bytes": 8 * nt}
+    if err_slab:
+        row4["variant_error"] = err_slab
     bb = None
     if fl4:
         row4["mxu_util"] = mfu(fl4, dt4)
@@ -541,7 +556,11 @@ def wait_for_device(max_wait_s=2700, poll_s=20):
 def _install_watchdog(seconds=4500):
     """If the tunnel wedges mid-run the process would hang inside a device
     call forever and the driver would record NO output at all; a SIGALRM
-    watchdog guarantees the one JSON line the driver needs."""
+    watchdog guarantees the one JSON line the driver needs.  Exits
+    non-zero so a driver that checks status can tell a wedge from a
+    measured 0; re-armed after device acquisition (``_rearm_watchdog``) so
+    a slow-but-healthy wait_for_device + compile phase is not misreported
+    as wedged."""
     import signal
 
     def _fire(signum, frame):
@@ -552,13 +571,23 @@ def _install_watchdog(seconds=4500):
             "vs_baseline": 0.0,
             "error": f"bench watchdog: device wedged (> {seconds}s)",
         }), flush=True)
-        os._exit(0)
+        os._exit(3)
 
     try:
         signal.signal(signal.SIGALRM, _fire)
         signal.alarm(seconds)
     except (ValueError, AttributeError, OSError):
         pass                      # non-main thread / non-posix: no watchdog
+
+
+def _rearm_watchdog(seconds=4500):
+    """Restart the watchdog clock (after the unbounded-but-legitimate
+    device wait, and again after the compile-heavy health pass)."""
+    import signal
+    try:
+        signal.alarm(seconds)
+    except (ValueError, AttributeError, OSError):
+        pass
 
 
 def main():
@@ -575,6 +604,25 @@ def main():
     except Exception:
         pass
     wait_for_device()
+    _rearm_watchdog()        # the device wait is unbounded-but-legitimate
+    # keep TPU_KERNELS.json fresh: run the consolidated kernel verify
+    # before measuring, so a kernel that cannot compile on this chip shows
+    # up in the round artifacts with its error string instead of silently
+    # losing the timing race (round-4 lesson: the slab kernel was dark for
+    # a full round because nothing re-verified post-commit)
+    if os.environ.get("PYFFT_BENCH_NO_VERIFY", "0") != "1":
+        try:
+            import sys as _sys
+            import jax as _jax
+            if _jax.default_backend() != "cpu":
+                if here not in _sys.path:
+                    _sys.path.insert(0, here)
+                from scripts.tpu_verify_kernels import run_checks
+                run_checks()
+                _rearm_watchdog()
+        except Exception as e:
+            print("bench: kernel verify pass failed: %r" % (e,),
+                  file=__import__("sys").stderr, flush=True)
     rows, headline = run_configs()
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
         json.dump(rows, f, indent=1)

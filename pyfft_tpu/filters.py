@@ -512,6 +512,35 @@ def fir_filter(x, taps, axis=-1, backend=None):
     return np.moveaxis(y, -1, axis)
 
 
+def fir_filter_tiled(xr, taps, precision=None):
+    """Causal FIR filtering on the TPU kernel-native row view — the
+    zero-retile entry for chained pipelines.
+
+    ``xr (nch, nrows, 128)`` comes from :func:`tile_rows`; the result is
+    in the same layout (chain more filters, or feed the v3 Welch kernel),
+    and :func:`untile_rows` returns to ``(nch, nt)``.  A rank-2 call
+    (:func:`fir_filter` with ``backend='pallas'``) pays a physical
+    retiling pass on each side of the kernel (~35% of its wall at
+    8 x 2^24 on v5e); crossing the layout boundary once per *pipeline*
+    instead runs the filter at the DMA roofline.  Same numerics as
+    ``np.convolve(x, taps, 'full')[:nt]`` per channel.
+    """
+    from .ops.pallas_fir import fir_pallas_tiled
+    return fir_pallas_tiled(xr, taps, precision=precision)
+
+
+def tile_rows(x, block_rows=512):
+    """See :func:`pyfft_tpu.ops.pallas_fir.tile_rows` (layout boundary)."""
+    from .ops.pallas_fir import tile_rows as _tile
+    return _tile(x, block_rows)
+
+
+def untile_rows(xr, nt):
+    """Inverse of :func:`tile_rows`."""
+    from .ops.pallas_fir import untile_rows as _untile
+    return _untile(xr, nt)
+
+
 def fir_filtfilt(x, taps, axis=-1):
     """Zero-phase FIR filtering with reflected-edge padding.
 

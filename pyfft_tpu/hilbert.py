@@ -23,6 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .ops import mxu_fft
+from .ops.precision import split_bf16
 
 
 __all__ = ["hilbert", "hilbert_1d", "analytic_mask", "envelope_phase"]
@@ -221,7 +222,7 @@ def _analytic_factored(x, *, nfft, factors, prec):
 
 def _hilb_slab_kernel(ar_ref, ai_ref,
                       c2_ref, s2_ref, c3_ref, s3_ref, t2r_ref, t2i_ref,
-                      or_ref, oi_ref, *, n1, n2, n3, nyq, P):
+                      or_ref, oi_ref, *, n1, n2, n3, nyq, prec):
     """Stages 2/3 + analytic mask + inverse 3'/2' of the factored chain,
     fused per k1 slab in VMEM.
 
@@ -241,9 +242,23 @@ def _hilb_slab_kernel(ar_ref, ai_ref,
     Ar = ar_ref[0]                               # (n2, n3): (b, c)
     Ai = ai_ref[0]
 
-    def dot(a, b):
-        return jnp.dot(a, b, precision=P,
-                       preferred_element_type=jnp.float32)
+    # Mosaic's dot lowering supports only DEFAULT and HIGHEST precision —
+    # the 3-pass compromise is spelled out manually via the same hi/lo
+    # bf16 split every other kernel uses (ops/precision.py)
+    if prec == "bf16x3":
+        def dot(a, b):
+            ah, al = split_bf16(a)
+            bh, bl = split_bf16(b)
+            d = lambda p, q: jnp.dot(p, q,                  # noqa: E731
+                                     preferred_element_type=jnp.float32)
+            return d(ah, bh) + d(ah, bl) + d(al, bh)
+    else:
+        _P = (jax.lax.Precision.HIGHEST if prec == "highest"
+              else jax.lax.Precision.DEFAULT)
+
+        def dot(a, b):
+            return jnp.dot(a, b, precision=_P,
+                           preferred_element_type=jnp.float32)
 
     # stage 2: contract b -> (k2, c)
     C2, S2 = c2_ref[...], s2_ref[...]
@@ -325,7 +340,7 @@ def _analytic_factored_slab(x, *, nfft, factors, prec, interpret):
     slab = lambda k: (k, 0, 0)  # noqa: E731
     zero2 = lambda k: (0, 0)    # noqa: E731
     Br, Bi = pl.pallas_call(
-        partial(_hilb_slab_kernel, n1=n1, n2=n2, n3=n3, nyq=nyq, P=P),
+        partial(_hilb_slab_kernel, n1=n1, n2=n2, n3=n3, nyq=nyq, prec=prec),
         grid=(n1,),
         in_specs=[
             pl.BlockSpec((1, n2, n3), slab),
@@ -407,10 +422,13 @@ def _envelope_phase_dev(u, *, nfft, axis, prec=None, slab=None):
                    if u.ndim == 1 and axis in (-1, 0)
                    and u.shape[-1] == nfft else None)
         if factors is not None:
-            # the slab kernel's per-k1 (1, n2)/(1, n3) twiddle blocks are
-            # Mosaic-legal only when the minor dims are lane-aligned
-            # (observed: (1, 256) compiles, (1, 64) is rejected) — gate
-            # and fall back to the unfused factored chain otherwise
+            # Every slab BlockSpec now equals its array dims (twiddles are
+            # hoisted to XLA), so Mosaic legality no longer depends on
+            # n2/n3 alignment.  The gate that remains is a PERF gate: a
+            # non-lane-aligned n3 pads every (8, 128) f32 tile, and the
+            # (1, n2, n3) slabs under-fill the MXU below ~128 — measured
+            # on-chip (see BASELINE.md): aligned slabs win, sub-lane ones
+            # fall back to the unfused factored chain.
             slab_ok = slab and factors[1] % 128 == 0 and factors[2] % 128 == 0
             impl = _analytic_factored_slab if slab_ok else _analytic_factored
             kw = {"interpret": False} if slab_ok else {}

@@ -43,7 +43,8 @@ from jax.experimental import pallas as pl
 
 from .precision import dot_bf16x3, resolve_kernel_precision
 
-__all__ = ["fir_pallas", "fir_transpose_pallas", "fir_transpose_blocking",
+__all__ = ["fir_pallas", "fir_pallas_tiled", "tile_rows", "untile_rows",
+           "fir_transpose_pallas", "fir_transpose_blocking",
            "PALLAS_FIR_MAX_TAPS"]
 
 PALLAS_FIR_MAX_TAPS = 1024  # m = 8 shifted matmuls; beyond this use overlap-save
@@ -209,6 +210,22 @@ def _fir_call(xr, halo, bands_flat, *, m, rows, kprec, interpret,
     )(xr, halo, *bands_flat)
 
 
+def _tile_halo(xr, m, rows):
+    """Per-tile causal halos for the row view ``xr (nch, nrows, 128)``:
+    tile ``b`` gets rows ``[b*rows - m, b*rows)``, zeros for ``b = 0``
+    (they stand in for the K-1 leading zeros of a 'full' convolution).
+    A tiny on-device gather (``nrb * m`` rows per channel)."""
+    nch, nrows, _ = xr.shape
+    nrb = nrows // rows
+    if m == 0:
+        return jnp.zeros((nch, nrb, 1, _LANES), xr.dtype)  # unread dummy
+    idx = (np.arange(nrb) * rows)[:, None] + np.arange(-m, 0)[None, :]
+    halo = jnp.take(xr, jnp.asarray(np.maximum(idx.reshape(-1), 0)),
+                    axis=1)
+    halo = halo.reshape(nch, nrb, m, _LANES)
+    return halo.at[:, 0].set(0.0)
+
+
 @partial(jax.jit,
          static_argnames=("K", "m", "rows", "kprec", "interpret",
                           "transposed"))
@@ -228,17 +245,7 @@ def _fir_pipeline(x, bands_flat, *, K, m, rows, kprec, interpret,
         x = jnp.pad(x, [(0, 0), (0, L - nt)])
     xr = x.reshape(nch, nrows, _LANES)
 
-    # halo for tile b: rows [b*R - m, b*R); zeros for b=0 (causal lead-in)
-    nrb = nrows // rows
-    if m == 0:
-        halo = jnp.zeros((nch, nrb, 1, _LANES), xr.dtype)  # unread dummy
-    else:
-        idx = (np.arange(nrb) * rows)[:, None] + np.arange(-m, 0)[None, :]
-        halo = jnp.take(xr, jnp.asarray(np.maximum(idx.reshape(-1), 0)),
-                        axis=1)
-        halo = halo.reshape(nch, nrb, m, _LANES)
-        halo = halo.at[:, 0].set(0.0)
-
+    halo = _tile_halo(xr, m, rows)
     y = _fir_call(xr, halo, bands_flat, m=m, rows=rows, kprec=kprec,
                   interpret=interpret, transposed=transposed)
     if transposed:
@@ -284,6 +291,89 @@ def fir_pallas(x, taps, block_rows=512, interpret=None, precision=None,
     if transposed_out:
         return y
     return y[0] if squeeze else y
+
+
+# --------------------------------------------------------------------------- #
+# Tiled-layout entry: keep the data in the kernel-native row view
+# --------------------------------------------------------------------------- #
+#
+# On TPU a rank-changing reshape ``(nch, nt) -> (nch, nt/128, 128)`` is a
+# PHYSICAL retiling (the (8, 128) tile assignment changes), costing one
+# full read+write pass of the signal on each side of the kernel — measured
+# ~35% of ``fir_pallas``'s end-to-end wall at 8 x 2^24 on v5e (round-4
+# commit 6b4bdce).  A pipeline that filters more than once, or feeds the
+# v3 Welch kernel, should cross the layout boundary ONCE via
+# ``tile_rows`` / ``untile_rows`` and chain ``fir_pallas_tiled`` calls on
+# the row view in between; the kernel itself then runs at the DMA roofline
+# (one read of x, one write of y, a negligible on-device halo gather).
+
+
+def tile_rows(x, block_rows=512):
+    """``x (nch, nt) | (nt,) -> (xr (nch, nrows, 128), nt)``: the
+    kernel-native row view, zero-padded so ``nrows`` is a multiple of
+    ``block_rows``.  Time sample ``t`` of channel ``c`` lives at
+    ``xr[c, t // 128, t % 128]``.  Pay this retiling pass once per
+    pipeline, not once per filter call."""
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim == 1:
+        x = x[None]
+    nch, nt = x.shape
+    nrows = -(-nt // (block_rows * _LANES)) * block_rows
+    L = nrows * _LANES
+    if L != nt:
+        x = jnp.pad(x, [(0, 0), (0, L - nt)])
+    return x.reshape(nch, nrows, _LANES), nt
+
+
+def untile_rows(xr, nt):
+    """Inverse of :func:`tile_rows`: ``(nch, nrows, 128) -> (nch, nt)``."""
+    nch = xr.shape[0]
+    return xr.reshape(nch, -1)[:, :nt]
+
+
+def fir_pallas_tiled(xr, taps, interpret=None, precision=None):
+    """Causal FIR filter on the kernel-native row view, in -> out same
+    layout (``(nch, nrows, 128)``), zero retiling passes.
+
+    Semantics match :func:`fir_pallas` on ``untile_rows(xr, nt)``: channel
+    ``c`` becomes ``np.convolve(x[c], taps, 'full')[:nt]`` (the padded
+    tail rows carry the convolution ring-out into the padding — harmless,
+    trimmed by ``untile_rows``).  ``nrows`` must admit a row blocking
+    ``rows > ceil((K-1)/128)`` (guaranteed by :func:`tile_rows`).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    kprec = resolve_kernel_precision(precision)
+    taps = np.asarray(taps, dtype=np.float64)
+    K = taps.size
+    if K > PALLAS_FIR_MAX_TAPS:
+        raise ValueError(
+            f"{K} taps > {PALLAS_FIR_MAX_TAPS}; use the overlap-save "
+            "path (filters.oaconvolve) for long filters")
+    xr = jnp.asarray(xr, jnp.float32)
+    if xr.ndim != 3 or xr.shape[-1] != _LANES:
+        raise ValueError(f"expected (nch, nrows, {_LANES}) from tile_rows, "
+                         f"got {xr.shape}")
+    nch, nrows, _ = xr.shape
+    m = -(-(K - 1) // _LANES)
+    rows = _fit_block_rows(int(min(1024, nrows)), min(nch, 8), m)
+    while rows > 8 and nrows % rows:
+        rows //= 2
+    if nrows % rows or rows <= m:
+        raise ValueError(
+            f"nrows={nrows} admits no row blocking > m={m}; "
+            "re-tile with tile_rows(x) (default blocking)")
+    bands = _band_blocks(tuple(taps.tolist()), kprec)
+    bands_flat = tuple(b for blk in bands for b in blk)
+    return _fir_tiled_pipeline(xr, bands_flat, m=m, rows=rows, kprec=kprec,
+                               interpret=bool(interpret))
+
+
+@partial(jax.jit, static_argnames=("m", "rows", "kprec", "interpret"))
+def _fir_tiled_pipeline(xr, bands_flat, *, m, rows, kprec, interpret):
+    halo = _tile_halo(xr, m, rows)
+    return _fir_call(xr, halo, bands_flat, m=m, rows=rows, kprec=kprec,
+                     interpret=interpret)
 
 
 # --------------------------------------------------------------------------- #
@@ -434,13 +524,12 @@ def fir_transpose_pallas(x, y, taps, nrows_out, interpret=None,
         raise ValueError("fir_transpose_pallas needs nt % 128 == 0")
     m = -(-(K - 1) // _LANES)
     rows = fir_transpose_blocking(nt, nrows_out, K, block_rows)
-    if rows is not None:
-        # VMEM fit: one step moves C blocks in + one (rows, C*128) out,
-        # double-buffered.  Halving keeps the divisibility invariants.
-        while rows > m and 2 * (2 * C * rows * _LANES * 4) > _VMEM_BUDGET:
-            rows //= 2
-        if rows <= m:
-            rows = None
+    # VMEM fit: one step moves C blocks in + one (rows, C*128) out,
+    # double-buffered.  Shrink via fir_transpose_blocking so the
+    # divisibility invariants it guarantees survive (a bare halving of an
+    # odd row count from a non-power-of-two block_rows would not).
+    while rows is not None and 2 * (2 * C * rows * _LANES * 4) > _VMEM_BUDGET:
+        rows = fir_transpose_blocking(nt, nrows_out, K, rows // 2)
     if rows is None:
         raise ValueError(
             f"no row blocking > m={m} divides nr={nt // _LANES} and "

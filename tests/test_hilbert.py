@@ -187,3 +187,30 @@ def test_analytic_factored_slab_matches_reference_chain():
                                    atol=3e-6 * scl)
         np.testing.assert_allclose(np.asarray(zr1), z.real, atol=3e-6 * scl)
         np.testing.assert_allclose(np.asarray(zi1), z.imag, atol=3e-6 * scl)
+
+
+def test_analytic_factored_slab_bf16x3_split():
+    """The kernel's manual hi/lo bf16x3 dot (Mosaic rejects Precision.HIGH
+    — round-4 on-chip failure) must track the XLA HIGH-precision chain
+    within the bf16x3 error budget."""
+    import jax.numpy as jnp
+    from scipy.signal import hilbert as sp_hilbert
+    from pyfft_tpu.hilbert import _analytic_factored, _analytic_factored_slab
+    from pyfft_tpu.ops.mxu_fft import balanced3_factorization
+    rng = np.random.default_rng(7)
+    nfft = 1 << 12
+    fac = balanced3_factorization(nfft)
+    x = rng.standard_normal(nfft).astype(np.float32)
+    zr0, zi0 = _analytic_factored(jnp.asarray(x), nfft=nfft,
+                                  factors=fac, prec="highest")
+    zr1, zi1 = _analytic_factored_slab(jnp.asarray(x), nfft=nfft,
+                                       factors=fac, prec="bf16x3",
+                                       interpret=True)
+    z = sp_hilbert(np.float64(x))
+    scl = np.max(np.abs(z))
+    np.testing.assert_allclose(np.asarray(zr1), np.asarray(zr0),
+                               atol=2e-4 * scl)
+    np.testing.assert_allclose(np.asarray(zi1), np.asarray(zi0),
+                               atol=2e-4 * scl)
+    np.testing.assert_allclose(np.asarray(zr1), z.real, atol=2e-4 * scl)
+    np.testing.assert_allclose(np.asarray(zi1), z.imag, atol=2e-4 * scl)

@@ -56,3 +56,37 @@ def test_block_rows_clamped_to_vmem_budget():
     want = np.stack([np.convolve(x[c], taps, mode="full")[:nt]
                      for c in range(nch)])
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_fir_pallas_tiled_matches_rank2():
+    """The tiled entry (fir_pallas_tiled on the tile_rows row view) must
+    equal fir_pallas on the rank-2 layout — same kernel, zero retiling
+    passes — including a non-multiple-of-128 signal length (padding) and
+    a chained two-filter pipeline (causality: the padded ring-out never
+    reaches t < nt)."""
+    from pyfft_tpu.ops.pallas_fir import (fir_pallas_tiled, tile_rows,
+                                          untile_rows)
+    rng = np.random.default_rng(3)
+    taps1 = flt.firwin(129, [0.05, 0.45], pass_zero=False)
+    taps2 = flt.firwin(65, 0.3)
+    for nch, nt in [(1, 1 << 16), (8, 1 << 16), (3, 100_000)]:
+        x = rng.standard_normal((nch, nt)).astype(np.float32)
+        xr, nt_out = tile_rows(x)
+        assert nt_out == nt
+        got = untile_rows(fir_pallas_tiled(xr, taps1), nt)
+        want = np.asarray(fir_pallas(x, taps1))
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=2e-5, atol=2e-5)
+        # chained: filter twice on the row view, compare to twice rank-2
+        got2 = untile_rows(
+            fir_pallas_tiled(fir_pallas_tiled(xr, taps1), taps2), nt)
+        want2 = np.asarray(fir_pallas(want, taps2))
+        scl = np.abs(want2).max() + 1e-30
+        np.testing.assert_allclose(np.asarray(got2) / scl, want2 / scl,
+                                   atol=5e-5)
+
+
+def test_fir_pallas_tiled_rejects_bad_layout():
+    from pyfft_tpu.ops.pallas_fir import fir_pallas_tiled
+    with pytest.raises(ValueError, match="tile_rows"):
+        fir_pallas_tiled(np.zeros((2, 100)), np.ones(5))
