@@ -288,37 +288,29 @@ def run_configs():
     def fir_run(yd):
         return jnp.sum(fir_pallas(yd, chain_taps, interpret=not on_tpu))
 
-    dt, dev = measure(fir_run, yd)
-    # kernel-only rate (row-view input pre-materialized): isolates the
-    # banded-matmul kernel from XLA's physical retiling of the rank-2
-    # (nch, nt) API arrays to the (nch, nr, 128) row view and back — the
-    # boundary cost a chained pipeline (FIR feeding Welch) never pays
-    dev_kern = err_kern = None
-    if nt % (512 * 128) == 0:
-        from pyfft_tpu.ops.pallas_fir import _band_blocks, _fir_call
-        yr3 = jax.device_put(y.reshape(nch, nt // 128, 128))
-        m_ = -(-(len(chain_taps) - 1) // 128)
-        bands = _band_blocks(tuple(np.asarray(chain_taps,
-                                              np.float64).tolist()),
-                             "bf16x3")
-        bands_j = tuple(jax.device_put(np.asarray(b))
-                        for blk in bands for b in blk)
-        idx = ((np.arange(nt // 128 // 512) * 512)[:, None]
-               + np.arange(-m_, 0)[None, :])
-        halo_np = y.reshape(nch, nt // 128, 128)[
-            :, np.maximum(idx.reshape(-1), 0)].reshape(nch, -1, m_, 128)
-        halo_np[:, 0] = 0.0
-        halo3 = jax.device_put(halo_np)
+    dt_r2, dev_r2 = measure(fir_run, yd)
+    # tiled-layout end-to-end: the DOCUMENTED chain entry (tile_rows once
+    # per pipeline, fir_pallas_tiled in between, untile once at the end) —
+    # no per-call API-boundary retiling pass, on-device halo gather
+    # included.  This is the rate a filtering pipeline actually sees; the
+    # rank-2 single-call wall (which pays the physical
+    # (nch, nt) -> (nch, nt/128, 128) retile both ways) is kept alongside.
+    from pyfft_tpu.ops.pallas_fir import fir_pallas_tiled, tile_rows
+    dt_tiled = dev_tiled = err_tiled = None
+    try:
+        yr3 = jax.device_put(np.asarray(tile_rows(y)[0]))
 
-        def fir_rows(yr3, halo3, *bands_j):
-            return jnp.sum(_fir_call(yr3, halo3, bands_j, m=m_, rows=512,
-                                     kprec="bf16x3", interpret=not on_tpu))
+        def fir_tiled(yr3):
+            return jnp.sum(fir_pallas_tiled(yr3, chain_taps,
+                                            interpret=not on_tpu))
 
-        try:
-            _, dev_kern = measure(fir_rows, yr3, halo3, *bands_j)
-        except Exception as e:
-            dev_kern = None
-            err_kern = f"{type(e).__name__}: {e}"[:300]
+        dt_tiled, dev_tiled = measure(fir_tiled, yr3)
+    except Exception as e:   # record WHY, never a silent null
+        err_tiled = f"{type(e).__name__}: {e}"[:300]
+    if dt_tiled is not None and dt_tiled < dt_r2:
+        dt, dev, variant3 = dt_tiled, dev_tiled, "tiled"
+    else:
+        dt, dev, variant3 = dt_r2, dev_r2, "rank2"
     m3 = -(-(len(chain_taps) - 1) // 128)
     fl = 2.0 * 3 * (m3 + 1) * nch * nt * 128        # bf16x3 banded matmuls
     row3 = {"config": 3, "what": "fir_bandpass_notch_8ch",
@@ -326,12 +318,13 @@ def run_configs():
             "device_s": dev,
             "mxu_util": mfu(fl, dt),
             "hbm_gbs": round(8 * nch * nt / dt / 1e9, 1),
-            "roofline": "hbm",
+            "roofline": "hbm", "variant": variant3,
+            "wall_rank2_s": dt_r2, "wall_tiled_s": dt_tiled,
             "result_bytes": 4 * nch * nt}
-    if dev_kern:
-        row3["kernel_gbs"] = round(8.0 * nch * nt / dev_kern / 1e9, 1)
-    if err_kern:
-        row3["variant_error"] = err_kern
+    if dev_tiled:
+        row3["kernel_gbs"] = round(8.0 * nch * nt / dev_tiled / 1e9, 1)
+    if err_tiled:
+        row3["variant_error"] = err_tiled
     finish(row3, fl=fl, bb=8.0 * nch * nt)
 
     # ---- config 4: Hilbert envelope/phase demodulation ------------------ #
@@ -363,10 +356,14 @@ def run_configs():
     dev4 = dev if variant4 == "xla-mid" else dev_slab
     from pyfft_tpu.hilbert import analytic_flops_bytes
     fl4, bb4 = analytic_flops_bytes(nt)
+    # the slab variant strips 12 of the 28 byte-passes, which flips the
+    # governing roofline from HBM to the MXU at the bench size (565 GFLOP
+    # dispatched vs ~1 GB moved — see BASELINE.md round-5 note)
     row4 = {"config": 4, "what": "hilbert_demod",
             "samples_per_s": round(nt / dt4, 1), "wall_s": dt4,
             "device_s": dev4,
-            "roofline": "hbm", "variant": variant4,
+            "roofline": "hbm" if variant4 == "xla-mid" else "mxu",
+            "variant": variant4,
             "wall_xla_mid_s": dt, "wall_slab_s": dt_slab,
             "result_bytes": 8 * nt}
     if err_slab:

@@ -412,8 +412,10 @@ def _envelope_phase_dev(u, *, nfft, axis, prec=None, slab=None):
     from .ops.precision import resolve_kernel_precision
 
     if slab is None:
-        # slab-fused middle section: opt-in until validated on the chip
-        slab = os.environ.get("PYFFT_HILB_SLAB", "0") == "1"
+        # slab-fused middle section: default ON (verified on v5e, round 5:
+        # rel-err 3.9e-5 vs the unfused chain, 31% faster at 2^24);
+        # PYFFT_HILB_SLAB=0 opts out
+        slab = os.environ.get("PYFFT_HILB_SLAB", "1") == "1"
     if jax.default_backend() == "cpu":
         z = _hilbert_xla(u, nfft=nfft, axis=axis)
         zr, zi = jnp.real(z), jnp.imag(z)
@@ -424,11 +426,14 @@ def _envelope_phase_dev(u, *, nfft, axis, prec=None, slab=None):
         if factors is not None:
             # Every slab BlockSpec now equals its array dims (twiddles are
             # hoisted to XLA), so Mosaic legality no longer depends on
-            # n2/n3 alignment.  The gate that remains is a PERF gate: a
-            # non-lane-aligned n3 pads every (8, 128) f32 tile, and the
-            # (1, n2, n3) slabs under-fill the MXU below ~128 — measured
-            # on-chip (see BASELINE.md): aligned slabs win, sub-lane ones
-            # fall back to the unfused factored chain.
+            # n2/n3 alignment — (64, 64, 64) compiles and verifies
+            # (TPU_KERNELS.json `hilbert_slab_64`).  The gate that remains
+            # is a PERF gate, measured on v5e (scripts/perf_slab_r5.py):
+            # lane-aligned factors win (2^24 (256,256,256): 5.2 vs 7.6 ms;
+            # 2^23 (128,256,256): 2.10 vs 2.22 ms) but sub-lane factors
+            # pad every (8,128) f32 tile and under-fill the MXU, losing
+            # (2^18 (64,64,64): 0.32 vs 0.27 ms) — those fall back to the
+            # unfused factored chain.
             slab_ok = slab and factors[1] % 128 == 0 and factors[2] % 128 == 0
             impl = _analytic_factored_slab if slab_ok else _analytic_factored
             kw = {"interpret": False} if slab_ok else {}
