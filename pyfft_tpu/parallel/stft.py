@@ -31,10 +31,10 @@ __all__ = ["stft_sharded"]
 @partial(jax.jit, static_argnames=("navr", "nwins", "hop", "nfft",
                                    "nnyquist", "onesided", "detrend_style",
                                    "backend", "B", "M", "mesh_static",
-                                   "cplx"))
+                                   "cplx", "raw"))
 def _stft_sharded_jit(x, tvec, win, s1, sqrt_enbw, *, navr, nwins, hop,
                       nfft, nnyquist, onesided, detrend_style, backend, B,
-                      M, mesh_static, cplx=False):
+                      M, mesh_static, cplx=False, raw=False):
     mesh = mesh_static.mesh
 
     def step(x_l, t_l, win_l, s1_l, senbw_l):
@@ -61,15 +61,20 @@ def _stft_sharded_jit(x, tvec, win, s1, sqrt_enbw, *, navr, nwins, hop,
             Xr, Xi = jnp.real(X), jnp.imag(X)
         else:
             Xr, Xi = mxu_fft.fft_pair(re, im, n=nfft, axis=-1)
-        if onesided:
+        if raw:
+            # the Welch core's Xfft_seg contract (fft_analysis.py:391-393):
+            # full-nfft, natural bin order, no coefficient scaling
+            scale = jnp.ones((), Xr.dtype)
+        elif onesided:
             amp = jnp.asarray(_onesided_amp_scale(nfft, nnyquist),
                               dtype=Xr.dtype)
             Xr = Xr[..., :nnyquist] * amp
             Xi = Xi[..., :nnyquist] * amp
+            scale = 1.0 / (s1_l * senbw_l)
         else:
             Xr = jnp.fft.fftshift(Xr, axes=-1)
             Xi = jnp.fft.fftshift(Xi, axes=-1)
-        scale = 1.0 / (s1_l * senbw_l)
+            scale = 1.0 / (s1_l * senbw_l)
         return (Xr * scale, Xi * scale, tt,
                 g_ids * valid - (1 - valid))     # -1 marks padding rows
 
@@ -82,13 +87,20 @@ def _stft_sharded_jit(x, tvec, win, s1, sqrt_enbw, *, navr, nwins, hop,
 
 
 def stft_sharded(x, tvec, win, plan: seg.SegmentPlan, fs, mesh, *,
-                 onesided=True, detrend_style=1, fft_backend=None):
+                 onesided=True, detrend_style=1, fft_backend=None,
+                 raw=False):
     """Distributed STFT of ``x (nt,)`` over the ``'t'`` mesh axis.
 
     Real or complex input (complex rides as a stacked (re, im) pair and is
     normally analyzed two-sided, matching :func:`stft_segments`).  Returns
     host numpy ``(tt (navr,), freq, Xfft (navr, nfreq) complex)`` with the
     exact :func:`stft_segments` scaling contract.
+
+    ``raw=True`` returns the Welch core's per-segment convention instead
+    (full ``nfft`` bins, natural order, no coefficient scaling — the
+    ``Xfft_seg`` contract of reference ``fft_analysis.py:391-393``); used
+    by the distributed lazy segment fill so per-segment arrays never
+    require the signal to fit one device.
     """
     backend = resolve_fft_backend(fft_backend)
     if backend == "pallas":
@@ -118,7 +130,7 @@ def stft_sharded(x, tvec, win, plan: seg.SegmentPlan, fs, mesh, *,
             hop=hop, nfft=plan.nfft, nnyquist=plan.nnyquist,
             onesided=bool(onesided), detrend_style=int(detrend_style),
             backend=backend, B=B, M=M, mesh_static=_MeshBox(mesh),
-            cplx=cplx)
+            cplx=cplx, raw=bool(raw))
 
     Xr, Xi = np.asarray(Xr), np.asarray(Xi)
     tt, gid = np.asarray(tt), np.asarray(gid)
@@ -126,8 +138,11 @@ def stft_sharded(x, tvec, win, plan: seg.SegmentPlan, fs, mesh, *,
     order = np.argsort(gid[keep], kind="stable")
     X = (Xr[keep] + 1j * Xi[keep])[order]
     tt = tt[keep][order]
-    nfreq = plan.nnyquist if onesided else plan.nfft
+    nfreq = plan.nfft if raw else (plan.nnyquist if onesided
+                                   else plan.nfft)
     freq = np.fft.fftfreq(plan.nfft, 1.0 / fs)
-    freq = freq[:plan.nnyquist] if onesided else np.fft.fftshift(freq)
+    if not raw:
+        freq = (freq[:plan.nnyquist] if onesided
+                else np.fft.fftshift(freq))
     assert X.shape == (plan.navr, nfreq)
     return tt, freq, X

@@ -521,6 +521,57 @@ def _make_segment_fill(x_in, y_in, win, s1sq_enbw, **static):
     return fill
 
 
+def _make_segment_fill_sharded(x_in, y_in, win, s1sq_enbw, mesh, fs,
+                               **static):
+    """Distributed lazy fill: per-segment spectra computed where the
+    samples live (the ``raw`` mode of :func:`parallel.stft.stft_sharded`,
+    one pass per signal) instead of a single-device recompute — so the
+    reference's ``P??_seg``/``?fft_seg`` contract
+    (``fft_analysis.py:391-393``) holds even when the input only fits the
+    mesh.  Scaling reproduces :func:`_welch_core_xla` exactly: ``Xfft_seg``
+    raw full-nfft natural-order, power segments one-sided-doubled (or
+    fftshifted) and divided by ``S1^2 * ENBW``.
+    """
+    def fill(info):
+        from .parallel.stft import stft_sharded
+        nt = len(np.asarray(x_in))
+        plan = seg.SegmentPlan(
+            nsig=nt, nwins=static["nwins"], noverlap=static["noverlap"],
+            navr=static["navr"], nfft=static["nfft"],
+            nnyquist=static["nnyquist"])
+        tvec = np.arange(nt) / fs
+        kw = dict(onesided=static["onesided"],
+                  detrend_style=static["detrend_style"], raw=True)
+        _, _, X = stft_sharded(np.asarray(x_in), tvec, win, plan, fs,
+                               mesh, **kw)
+        y2 = np.asarray(y_in)                       # (nt, nch)
+        Ys = np.stack([stft_sharded(y2[:, c], tvec, win, plan, fs,
+                                    mesh, **kw)[2]
+                       for c in range(y2.shape[1])])
+        Pxx = (X * np.conj(X)).real
+        Pyy = (Ys * np.conj(Ys)).real
+        Pxy = Ys * np.conj(X)[None]
+        nfft, nnyq = static["nfft"], static["nnyquist"]
+        if static["onesided"]:
+            sc = _onesided_power_scale(nfft, nnyq)
+            Pxx = Pxx[..., :nnyq] * sc
+            Pyy = Pyy[..., :nnyq] * sc
+            Pxy = Pxy[..., :nnyq] * sc
+        else:
+            Pxx = np.fft.fftshift(Pxx, axes=-1)
+            Pyy = np.fft.fftshift(Pyy, axes=-1)
+            Pxy = np.fft.fftshift(Pxy, axes=-1)
+        norm = 1.0 / s1sq_enbw
+        info.Pxx_seg = (Pxx * norm).astype(np.complex128)
+        info.Pyy_seg = (Pyy * norm).astype(np.complex128)
+        info.Pxy_seg = Pxy * norm
+        info.Xfft_seg = X
+        info.Yfft_seg = Ys
+        info.phixy_seg = np.angle(info.Pxy_seg)
+        info.varphi_seg = np.zeros_like(info.phixy_seg)
+    return fill
+
+
 def welch_cross_spectra(x, y, win, plan: seg.SegmentPlan, fs: float, *,
                         onesided=True, detrend_style=1, ntmodel=False,
                         fft_backend=None):
@@ -864,11 +915,24 @@ def fft_pwelch(tvec, sigx, sigy, tbounds=None, Navr=None, windowoverlap=None,
             ntmodel=bool(nTmodel))
         Pyy = Pyy_s.T
         Pxy = Pxy_s.T
-        fftinfo._defer_segments(_make_segment_fill(
-            x_in, y_in, win, fftinfo.S1 ** 2 * fftinfo.ENBW,
-            navr=int(Navr), nwins=int(nwins), noverlap=int(noverlap),
-            nfft=int(nfft), nnyquist=int(Nnyquist), onesided=bool(onesided),
-            detrend_style=int(detrend_style), ntmodel=bool(nTmodel)))
+        if nTmodel:
+            # the nT-model broadcasts one reference frame — single-device
+            # recompute is fine (the frame is one window long)
+            fftinfo._defer_segments(_make_segment_fill(
+                x_in, y_in, win, fftinfo.S1 ** 2 * fftinfo.ENBW,
+                navr=int(Navr), nwins=int(nwins), noverlap=int(noverlap),
+                nfft=int(nfft), nnyquist=int(Nnyquist),
+                onesided=bool(onesided), detrend_style=int(detrend_style),
+                ntmodel=True))
+        else:
+            # per-segment arrays computed where the samples live — the
+            # reference contract without requiring x to fit one chip
+            fftinfo._defer_segments(_make_segment_fill_sharded(
+                x_in, y_in, win, fftinfo.S1 ** 2 * fftinfo.ENBW, mesh, Fs,
+                navr=int(Navr), nwins=int(nwins), noverlap=int(noverlap),
+                nfft=int(nfft), nnyquist=int(Nnyquist),
+                onesided=bool(onesided),
+                detrend_style=int(detrend_style)))
     else:
         if verbose:
             print("using the batched device Welch pipeline "

@@ -181,13 +181,28 @@ def test_fft_pwelch_mesh_matches_single_device(tsh):
     np.testing.assert_allclose(Pyy2, Pyy1, rtol=1e-8, atol=1e-12)
     np.testing.assert_allclose(Pxy2, Pxy1, rtol=1e-8, atol=1e-12)
     np.testing.assert_allclose(phi2, phi1, rtol=1e-6, atol=1e-8)
-    # per-segment arrays are lazy on the mesh path: first touch recomputes
-    # them on the generic single-device backend and must match the eager run
+    # per-segment arrays are lazy on the mesh path: first touch computes
+    # them WHERE THE SAMPLES LIVE (sharded raw STFT, parallel/stft.py) —
+    # never a single-device recompute — and must match the eager run
     assert "Pxx_seg" not in info2.__dict__
     np.testing.assert_allclose(np.asarray(info2.Pxx_seg),
                                np.asarray(info1.Pxx_seg),
                                rtol=1e-8, atol=1e-12)
     assert "Xfft_seg" in info2.__dict__  # fill populated every field
+    sx = np.abs(np.asarray(info1.Xfft_seg)).max()
+    np.testing.assert_allclose(np.asarray(info2.Xfft_seg),
+                               np.asarray(info1.Xfft_seg),
+                               atol=1e-9 * sx)
+    np.testing.assert_allclose(np.asarray(info2.Yfft_seg),
+                               np.asarray(info1.Yfft_seg),
+                               atol=1e-9 * np.abs(
+                                   np.asarray(info1.Yfft_seg)).max())
+    np.testing.assert_allclose(np.asarray(info2.Pxy_seg),
+                               np.asarray(info1.Pxy_seg),
+                               rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(info2.Pyy_seg),
+                               np.asarray(info1.Pyy_seg),
+                               rtol=1e-8, atol=1e-12)
 
 
 @needs8
