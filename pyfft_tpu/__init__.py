@@ -15,8 +15,14 @@ Doppler/center-of-gravity analysis, PCA, heat-pulse transport analysis), with
 __version__ = "0.1.0"
 
 from . import utils
+# `windows` is a CALLABLE MODULE (see windows.py tail): calling
+# `pyfft_tpu.windows('hanning', ...)` dispatches like the reference's
+# bare function, while `import pyfft_tpu.windows` / attribute access
+# exposes the full window library (the old function re-export shadowed
+# the submodule).  `windows_mod` stays as the documented alias.
+from . import windows
 from . import windows as windows_mod
-from .windows import windows, get_window
+from .windows import get_window
 from . import segmentation
 from .spectral import (
     fft_pwelch,

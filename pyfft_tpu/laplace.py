@@ -29,7 +29,7 @@ def laplace(uin=None, **kwargs):
     return laplace_1d(uin, **kwargs)
 
 
-def laplace_1d(uin, real_sigma_interval=None, nfft=None):
+def laplace_1d(uin, real_sigma_interval=None, nfft=None, sigma_block=None):
     """Bilateral Laplace transform over a grid of real parts.
 
     Returns a complex array of shape ``(nsigma, nfft//2 + 1)``: rows are the
@@ -40,6 +40,16 @@ def laplace_1d(uin, real_sigma_interval=None, nfft=None):
     applies it to the time-reversed signal; both conventions are preserved
     (weights ``exp(sigma (N-1-m)) / sum exp(sigma n)`` after unwinding the
     double reversal at ``laplace.py:101`` and ``:109``).
+
+    The sigma rows are independent, so the weight matrix is synthesized
+    and transformed in sigma blocks of ``sigma_block`` rows (default:
+    sized to keep the ``(block, N)`` float64 intermediate under ~256 MB).
+    The reference's default 2001-point grid on a 2^21-sample signal would
+    otherwise materialize a ~34 GB weight matrix before the first
+    transform; chunked, peak memory is O(block * N) plus the output.
+    The exponent arithmetic stays float64 per block (its dynamic range is
+    ``|sigma| * N`` — float32 exponents lose whole units of log-weight at
+    production sizes); only the bounded exp'd weights are cast down.
     """
     uin = np.atleast_1d(np.asarray(uin))
     if real_sigma_interval is None:
@@ -47,17 +57,23 @@ def laplace_1d(uin, real_sigma_interval=None, nfft=None):
     sig = np.asarray(real_sigma_interval, dtype=np.float64)
     N = len(uin) if nfft is None else int(nfft)
     x = uin[:N] if len(uin) >= N else np.pad(uin, (0, N - len(uin)))
+    dt = (np.float64 if x.dtype == np.float64
+          else np.result_type(x, np.float32))
 
+    nsigma = sig.size
+    if sigma_block is None:
+        sigma_block = int(max(1, min(nsigma, (1 << 25) // max(N, 1))))
     n = np.arange(N, dtype=np.float64)
-    # log-space normalization keeps large |sigma * N| finite
-    expo = sig[:, None] * (N - 1 - n)[None, :]
-    logz = np.logaddexp.reduce(sig[:, None] * n[None, :], axis=1)
-    W = np.exp(expo - logz[:, None])
-
-    weighted = W * x[None, :]
-    return transform.rfft(weighted.astype(np.result_type(x, np.float32)
-                                          if x.dtype != np.float64
-                                          else np.float64), axis=-1)
+    outs = []
+    for i in range(0, nsigma, int(sigma_block)):
+        sb = sig[i:i + int(sigma_block)]
+        # log-space normalization keeps large |sigma * N| finite
+        expo = sb[:, None] * (N - 1 - n)[None, :]
+        logz = np.logaddexp.reduce(sb[:, None] * n[None, :], axis=1)
+        W = np.exp(expo - logz[:, None])
+        outs.append(np.asarray(transform.rfft((W * x[None, :]).astype(dt),
+                                              axis=-1)))
+    return outs[0] if len(outs) == 1 else np.concatenate(outs, axis=0)
 
 
 def test_laplace(plotit=False):

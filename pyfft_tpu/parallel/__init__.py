@@ -8,7 +8,8 @@ from .fir import fir_filter_sharded
 from .fft import (fft_sharded, ifft_sharded, rfft_sharded, irfft_sharded,
                   axis_swap, four_step_factor)
 from .runtime import (init_distributed, make_host_mesh, scaling_report,
-                      measure_scaling, audit_collectives, project_scaling)
+                      measure_scaling, audit_collectives, project_scaling,
+                      project_scaling_paths)
 from .stft import stft_sharded
 
 __all__ = ["make_mesh", "shard_map", "P", "Mesh", "NamedSharding",

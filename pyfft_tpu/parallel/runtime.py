@@ -23,7 +23,8 @@ import jax
 from jax.sharding import Mesh
 
 __all__ = ["init_distributed", "make_host_mesh", "scaling_report",
-           "measure_scaling", "audit_collectives", "project_scaling"]
+           "measure_scaling", "audit_collectives", "project_scaling",
+           "project_scaling_paths"]
 
 _initialized = False
 
@@ -289,4 +290,173 @@ def project_scaling(nt=1 << 24, nch=8, nwins=4096, windowoverlap=0.5,
             "no_overlap": t_compute / (t_compute + t_comm),
             "overlapped": t_compute / max(t_compute, t_comm),
         },
+        "dcn_sensitivity": _dcn_band(t_compute,
+                                     {"halo": halo_bytes,
+                                      "other": other_bytes},
+                                     psum_bytes, chips_per_host, hosts,
+                                     ici, dcn),
     }
+
+
+def _dcn_band(t_compute, dcn_bytes, psum_bytes, L, Hn, ici, dcn,
+              factors=(0.5, 1.0, 2.0)):
+    """No-overlap efficiency at ``dcn * factor`` for each factor — the
+    sensitivity band the headline projection quotes (DCN bandwidth is the
+    softest number in the model; halving it bounds the worst case)."""
+    band = {}
+    for f in factors:
+        d_eff = dcn * f
+        t_d = sum(dcn_bytes.values()) / (d_eff * 1e9)
+        t_p = (2 * psum_bytes * (L - 1) / L / (ici * 1e9)
+               + 2 * psum_bytes * (Hn - 1) / Hn / (d_eff * 1e9))
+        band[f"dcn_x{f:g}"] = round(
+            t_compute / (t_compute + t_d + t_p), 4)
+    return band
+
+
+def project_scaling_paths(nt=1 << 24, nch=8, nwins=4096, windowoverlap=0.5,
+                          ntaps=129, hosts=2, chips_per_host=4,
+                          kind="v5e", fft_backend="mxu",
+                          stft_nwins=2048, fft_n=None):
+    """Per-path 2-host scaling projection: the Welch+FIR chain (the
+    headline, :func:`project_scaling`), the sharded STFT (large per-segment
+    output -> host-gather pressure), and the four-step FFT (three
+    all-to-all rounds — the worst collective pattern in the framework).
+
+    Each row carries the audited HLO collective bytes, the modeled
+    communication time, a no-overlap efficiency, and a DCN bandwidth
+    sensitivity band (x0.5 / x1 / x2) — the paths where DCN would actually
+    hurt are exactly the ones whose efficiency must be quoted with error
+    bars.  Compute-time models per path:
+
+    - STFT: the measured single-chip BENCH config-2 rate (samples/s);
+      communication adds the final host-gather of the (navr, nfreq)
+      re+im result, of which the remote hosts' share crosses DCN.
+    - four-step FFT: local work modeled as 10 HBM passes of the per-chip
+      shard (two factored local FFT stages + twiddle + layout swaps) at
+      the measured ~507 GB/s achievable streaming rate; each of the three
+      all-to-alls moves (d-1)/d of every chip's shard, the inter-host
+      fraction ((H-1)/H) through the host NIC.
+    """
+    import json
+    import os
+    import jax as _jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from .. import segmentation as seg
+    from ..utils.profiling import interconnect_peaks
+    from .mesh import make_mesh
+    from .welch import _MeshBox, plan_shard_segments
+
+    ndev = hosts * chips_per_host
+    ici, dcn = interconnect_peaks(kind)
+    L, Hn = chips_per_host, hosts
+    out = {"chain": project_scaling(
+        nt=nt, nch=nch, nwins=nwins, windowoverlap=windowoverlap,
+        ntaps=ntaps, hosts=hosts, chips_per_host=chips_per_host,
+        kind=kind, fft_backend=fft_backend)}
+
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    bench_rows = {}
+    try:
+        with open(os.path.join(here, "BENCH_FULL.json")) as f:
+            bench_rows = {r.get("config"): r for r in json.load(f)}
+    except Exception:
+        pass
+
+    mesh = make_mesh(ch=1, t=ndev, devices=_jax.devices()[:ndev])
+
+    # ---- sharded STFT ----
+    from .stft import _stft_sharded_jit
+    plan2 = seg.plan_segments(nt, nwins=stft_nwins,
+                              windowoverlap=windowoverlap)
+    hop2 = plan2.nwins - plan2.noverlap
+    B2, M2 = plan_shard_segments(nt, plan2.nwins, hop2, plan2.navr, ndev)
+    win2 = np.hanning(stft_nwins + 1)[:-1]
+    sh_t = NamedSharding(mesh, P("t"))
+    xs = _jax.device_put(jnp.zeros(nt, jnp.float32), sh_t)
+    ts = _jax.device_put(jnp.zeros(nt, jnp.float32), sh_t)
+    stft_txt = _stft_sharded_jit.lower(
+        xs, ts, jnp.asarray(win2, jnp.float32), jnp.float32(1.0),
+        jnp.float32(1.0), navr=plan2.navr, nwins=plan2.nwins, hop=hop2,
+        nfft=plan2.nfft, nnyquist=plan2.nnyquist, onesided=True,
+        detrend_style=1, backend=fft_backend, B=B2, M=M2,
+        mesh_static=_MeshBox(mesh), cplx=False).compile().as_text()
+    srows = audit_collectives(stft_txt)
+    s_halo = sum(r["bytes"] for r in srows
+                 if r["op"] == "collective-permute")
+    s_psum = sum(r["bytes"] for r in srows if r["op"] == "all-reduce")
+    s_other = sum(r["bytes"] for r in srows
+                  if r["op"] not in ("collective-permute", "all-reduce"))
+    result_bytes = 8.0 * plan2.navr * plan2.nnyquist     # re+im f32, global
+    gather_dcn = result_bytes * (Hn - 1) / Hn            # remote hosts' share
+    rate2 = bench_rows.get(2, {}).get("samples_per_s", 4.0e9)
+    t_c2 = (nt / ndev) / rate2
+    t_comm2 = (s_halo + s_other + gather_dcn) / (dcn * 1e9) + \
+        (2 * s_psum * (L - 1) / L / (ici * 1e9)
+         + 2 * s_psum * (Hn - 1) / Hn / (dcn * 1e9))
+    out["stft"] = {
+        "workload": {"nt": nt, "nwins": stft_nwins, "navr": plan2.navr,
+                     "nfreq": plan2.nnyquist},
+        "collectives": srows,
+        "bytes": {"halo_ppermute": s_halo, "psum_allreduce": s_psum,
+                  "other": s_other, "result_gather": int(result_bytes),
+                  "result_gather_dcn": int(gather_dcn)},
+        "times_s": {"compute_per_chip": t_c2, "comm_total": t_comm2},
+        "per_chip_samples_per_s": rate2,
+        "efficiency": {
+            "no_overlap": t_c2 / (t_c2 + t_comm2),
+            # same shard count on ONE host: every collective (and the
+            # result assembly) rides ICI — the deployment the numbers say
+            # to prefer for STFT workloads
+            "ici_only": t_c2 / (t_c2 + (s_halo + s_other + 2 * s_psum
+                                        * (ndev - 1) / ndev
+                                        + result_bytes * (ndev - 1) / ndev)
+                                / (ici * 1e9)),
+        },
+        "dcn_sensitivity": _dcn_band(
+            t_c2, {"halo": s_halo, "other": s_other + gather_dcn},
+            s_psum, L, Hn, ici, dcn),
+    }
+
+    # ---- four-step distributed FFT ----
+    from .fft import _fourstep_jit, four_step_factor
+    if fft_n is None:
+        fft_n = (nt // (ndev * ndev)) * ndev * ndev
+    n1, n2 = four_step_factor(fft_n, ndev)
+    xr = _jax.device_put(jnp.zeros(fft_n, jnp.float32), sh_t)
+    xi = _jax.device_put(jnp.zeros(fft_n, jnp.float32), sh_t)
+    fft_txt = _fourstep_jit.lower(
+        xr, xi, n=fft_n, n1=n1, n2=n2, d=ndev, axis_name="t",
+        backend=fft_backend, sign=-1.0, mesh=mesh).compile().as_text()
+    frows = audit_collectives(fft_txt)
+    a2a_bytes = sum(r["bytes"] for r in frows if r["op"] == "all-to-all")
+    f_other = sum(r["bytes"] for r in frows if r["op"] != "all-to-all")
+    shard_bytes = 8.0 * fft_n / ndev                     # re+im f32 per chip
+    hbm_achievable = 507e9          # measured streaming ceiling (BASELINE)
+    t_c3 = 10.0 * shard_bytes / hbm_achievable
+    # inter-host share of each all-to-all rides the host NIC
+    a2a_dcn = a2a_bytes * (Hn - 1) / Hn * L              # per host
+    t_comm3 = (a2a_dcn + f_other) / (dcn * 1e9)
+    out["fft4step"] = {
+        "workload": {"n": fft_n, "n1": n1, "n2": n2, "d": ndev},
+        "collectives": frows,
+        "bytes": {"all_to_all_per_device": a2a_bytes,
+                  "all_to_all_dcn_per_host": int(a2a_dcn),
+                  "other": f_other},
+        "times_s": {"compute_per_chip": t_c3, "comm_total": t_comm3},
+        "compute_model": "10 HBM passes of the per-chip shard at the "
+                         "measured 507 GB/s achievable streaming rate",
+        "efficiency": {
+            "no_overlap": t_c3 / (t_c3 + t_comm3),
+            # all-to-all entirely on ICI (single-host mesh): the four-step
+            # transform is designed to run with d = chips-per-host
+            "ici_only": t_c3 / (t_c3 + a2a_bytes * (ndev - 1) / ndev
+                                / (ici * 1e9)),
+        },
+        "dcn_sensitivity": _dcn_band(
+            t_c3, {"a2a": a2a_dcn, "other": f_other}, 0.0,
+            L, Hn, ici, dcn),
+    }
+    return out

@@ -699,3 +699,25 @@ def get_window(window, Nx, fftbins=True):
     if winfunc in _NEEDS_PARAM and len(args) == 0:
         raise ValueError("The '" + winstr + "' window needs one or more parameters -- pass a tuple.")
     return winfunc(Nx, *args, sym=sym)
+
+
+# --------------------------------------------------------------------------- #
+# Callable-module shim: the package re-exports a `windows` FUNCTION at
+# `pyfft_tpu.windows` for reference parity (the reference's own
+# `import windows` / `windows.windows` py2 idiom collapsed to a bare
+# callable in its public API).  That attribute used to shadow THIS
+# submodule for `import pyfft_tpu.windows as w` users.  Making the module
+# itself callable serves both: `pyfft_tpu.windows('hanning')` dispatches,
+# and `pyfft_tpu.windows.hanning` / `import pyfft_tpu.windows` expose the
+# full window library.  (`pyfft_tpu.windows_mod` remains as an alias.)
+def _make_module_callable():
+    import sys
+    import types
+
+    class _CallableWindowsModule(types.ModuleType):
+        __call__ = staticmethod(windows)
+
+    sys.modules[__name__].__class__ = _CallableWindowsModule
+
+
+_make_module_callable()

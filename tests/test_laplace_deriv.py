@@ -115,3 +115,38 @@ def test_laplace_golden_vs_genuine_reference():
     assert ours.shape == ref.shape
     np.testing.assert_allclose(ours, ref, rtol=1e-6,
                                atol=1e-9 * np.max(np.abs(ref)))
+
+
+def test_laplace_sigma_chunking_parity():
+    """sigma-block chunking must be bit-identical to the single-block
+    path (rows are independent), and the auto block size must bound the
+    (block, N) weight intermediate at production signal lengths."""
+    from pyfft_tpu.laplace import laplace_1d
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(513)
+    sig = np.linspace(-0.4, 0.4, 23)
+    whole = laplace_1d(x, real_sigma_interval=sig, sigma_block=23)
+    chunked = laplace_1d(x, real_sigma_interval=sig, sigma_block=5)
+    np.testing.assert_array_equal(np.asarray(whole), np.asarray(chunked))
+    auto = laplace_1d(x, real_sigma_interval=sig)
+    np.testing.assert_array_equal(np.asarray(whole), np.asarray(auto))
+
+
+def test_laplace_large_signal_bounded_memory():
+    """A 2^21-sample signal with a sigma grid: the auto block keeps the
+    weight intermediate at <= 2^25 float64 elements (256 MB) per block
+    instead of nsigma*N (the reference's default grid would need ~34 GB),
+    and the pole row still dominates."""
+    from pyfft_tpu.laplace import laplace_1d
+    N = 1 << 21
+    fs = 1e5
+    t = np.arange(N) / fs
+    d, f0 = 40.0, 9e3
+    x = (np.exp(-d * t) * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+    sig = np.linspace(-2e-3, 2e-3, 9) / fs * fs   # small grid, big N
+    LP = laplace_1d(x, real_sigma_interval=sig)
+    assert LP.shape == (9, N // 2 + 1)
+    # auto block must bound the intermediate: block*N <= 2^25
+    assert max(1, (1 << 25) // N) * N <= (1 << 25)
+    ipk = int(np.argmax(np.abs(LP[4])))
+    assert abs(ipk * fs / N - f0) < 3 * fs / N
