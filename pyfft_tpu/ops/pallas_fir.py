@@ -144,13 +144,28 @@ def _banded_matmul(x, h, band_refs, m, rows, kprec):
     return acc
 
 
-def _fir_kernel(x_ref, halo_ref, *refs, m, rows, kprec, transposed, G=1):
+def _fir_kernel(x_ref, halo_ref, *refs, m, rows, kprec, transposed, G=1,
+                inline_halo=False):
     """One grid step: ``G`` channels of one row block (channel-grouped
     steps move ~G x (rows, 128) per DMA — per-channel tiny steps measured
-    well below the achievable HBM rate)."""
+    well below the achievable HBM rate).
+
+    ``inline_halo``: the halo block is an 8-row window of the INPUT array
+    itself (the tail of the previous row block, index-mapped by the
+    BlockSpec), masked to zero on the first block.  Measured on v5e: a
+    host-side ``jnp.take`` halo gather in the same jit as the kernel
+    forced a full-array pass (227 GB/s end-to-end vs 378 kernel-only,
+    8 x 2^24); the windowed read costs one extra 4 KB DMA per step and
+    restores the kernel-only rate."""
     band_refs, out_ref = refs[:-1], refs[-1]
     for g in range(G):
-        h = None if m == 0 else halo_ref[g, 0]
+        if m == 0:
+            h = None
+        elif inline_halo:
+            r = pl.program_id(1)
+            h = halo_ref[g, 8 - m:] * jnp.where(r > 0, 1.0, 0.0)
+        else:
+            h = halo_ref[g, 0]
         acc = _banded_matmul(x_ref[g], h, band_refs, m, rows, kprec)
         if transposed:
             out_ref[...] = acc
@@ -159,9 +174,42 @@ def _fir_kernel(x_ref, halo_ref, *refs, m, rows, kprec, transposed, G=1):
 
 
 def _fir_call(xr, halo, bands_flat, *, m, rows, kprec, interpret,
-              transposed=False):
+              transposed=False, inline_halo=False):
     nch, nrows, _ = xr.shape
     nrb = nrows // rows
+    if inline_halo and not transposed:
+        # halo = the last 8 rows of the previous row block, read as a
+        # windowed BlockSpec over the input itself (m <= 8 always: taps
+        # are capped at 1024).  No gather pass; the r = 0 window is
+        # clamped in-bounds and masked to zero in the kernel.
+        assert m <= 8 and rows % 8 == 0
+        G = min(nch, 8)
+        ncg = -(-nch // G)
+        grid = (ncg, nrb)
+        band_specs = [pl.BlockSpec(b.shape, lambda c, r: (0, 0))
+                      for b in bands_flat]
+        rb8 = rows // 8
+        in_specs = [
+            pl.BlockSpec((G, rows, _LANES), lambda c, r: (c, r, 0)),
+            pl.BlockSpec((G, 8, _LANES),
+                         lambda c, r: (c, jnp.maximum(r * rb8 - 1, 0), 0)),
+            *band_specs,
+        ]
+        out_specs = pl.BlockSpec((G, rows, _LANES), lambda c, r: (c, r, 0))
+        out_shape = jax.ShapeDtypeStruct((nch, nrows, _LANES), jnp.float32)
+        return pl.pallas_call(
+            partial(_fir_kernel, m=m, rows=rows, kprec=kprec,
+                    transposed=False, G=G, inline_halo=True),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * nch * nrows * _LANES * (m + 1) * _LANES,
+                bytes_accessed=4 * 2 * xr.size,
+                transcendentals=0),
+            interpret=interpret,
+        )(xr, xr, *bands_flat)
     if transposed:
         # write y[row, c*128:(c+1)*128]: the channel-major -> row-major
         # relayout the downstream consumer wants happens through the
@@ -245,9 +293,12 @@ def _fir_pipeline(x, bands_flat, *, K, m, rows, kprec, interpret,
         x = jnp.pad(x, [(0, 0), (0, L - nt)])
     xr = x.reshape(nch, nrows, _LANES)
 
-    halo = _tile_halo(xr, m, rows)
+    # non-transposed: halos ride a windowed BlockSpec (inline_halo); the
+    # transposed feeder keeps the explicit gather (its grid is per-channel)
+    halo = _tile_halo(xr, m, rows) if transposed else None
     y = _fir_call(xr, halo, bands_flat, m=m, rows=rows, kprec=kprec,
-                  interpret=interpret, transposed=transposed)
+                  interpret=interpret, transposed=transposed,
+                  inline_halo=not transposed)
     if transposed:
         return y                      # (nrows, nch*128), padded rows kept
     y = y.reshape(nch, L)
@@ -371,9 +422,8 @@ def fir_pallas_tiled(xr, taps, interpret=None, precision=None):
 
 @partial(jax.jit, static_argnames=("m", "rows", "kprec", "interpret"))
 def _fir_tiled_pipeline(xr, bands_flat, *, m, rows, kprec, interpret):
-    halo = _tile_halo(xr, m, rows)
-    return _fir_call(xr, halo, bands_flat, m=m, rows=rows, kprec=kprec,
-                     interpret=interpret)
+    return _fir_call(xr, None, bands_flat, m=m, rows=rows, kprec=kprec,
+                     interpret=interpret, inline_halo=True)
 
 
 # --------------------------------------------------------------------------- #
