@@ -397,9 +397,15 @@ def _v3_kernel(cur_ref, head_ref, mrow_ref, *refs, counts, C, R, Sseg, navr,
 
 def _assemble_rows(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref, yh_ref,
                    srow_ref, band_refs, b, *, C, R, blk, unroll, kprec, m,
-                   nbands, nrv, sub):
+                   nbands, nrv, sub, inline_halo=False):
     """The feeder kernel's body, inlined: FIR + detrend + interleave the
-    step's ``(unroll*blk + R, C*128)`` row window entirely in VMEM."""
+    step's ``(unroll*blk + R, C*128)`` row window entirely in VMEM.
+
+    ``inline_halo``: the FIR halo refs are 8-row windowed BlockSpecs into
+    the signal arrays themselves (tail of the previous step's rows),
+    masked to zero on the first step — a ``jnp.take`` halo gather in the
+    same jit as the kernel forces a full-array XLA pass (measured on the
+    FIR kernel: 227 vs 378 GB/s end-to-end)."""
     from .precision import dot_bf16x3
 
     rows_out = unroll * blk + R
@@ -417,7 +423,12 @@ def _assemble_rows(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref, yh_ref,
             acc = jnp.concatenate([mainc, headc], axis=0)
         else:
             if m:
-                haloc = xh_ref[0] if c == 0 else yh_ref[c - 1, 0]
+                if inline_halo:
+                    hb = jnp.where(b > 0, 1.0, 0.0)
+                    haloc = (xh_ref[8 - m:] if c == 0
+                             else yh_ref[c - 1, 8 - m:]) * hb
+                else:
+                    haloc = xh_ref[0] if c == 0 else yh_ref[c - 1, 0]
                 ext = jnp.concatenate([haloc, mainc, headc], axis=0)
             else:
                 ext = jnp.concatenate([mainc, headc], axis=0)
@@ -444,7 +455,8 @@ def _assemble_rows(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref, yh_ref,
 def _v3_fused_kernel(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref, yh_ref,
                      srow_ref, *refs, counts, C, R, Sseg, navr, blk,
                      unroll, kprec, cplx, kv, m, nbands, nrv, sub,
-                     auto_only=False, vmask=False, paircross=False):
+                     auto_only=False, vmask=False, paircross=False,
+                     inline_halo=False):
     """Single-dispatch chain: FIR + channel interleave + detrend + Welch.
 
     Reads the ORIGINAL ``x (nr, 128)`` / ``y (nch, nr, 128)`` row views —
@@ -466,7 +478,8 @@ def _v3_fused_kernel(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref, yh_ref,
     rows_all = _assemble_rows(xm_ref, xe_ref, xh_ref, ym_ref, ye_ref,
                               yh_ref, srow_ref, band_refs, b, C=C, R=R,
                               blk=blk, unroll=unroll, kprec=kprec, m=m,
-                              nbands=nbands, nrv=nrv, sub=sub)
+                              nbands=nbands, nrv=nrv, sub=sub,
+                              inline_halo=inline_halo)
 
     def chunk(k):
         rows = rows_all[k * blk:k * blk + blk + R]
@@ -626,18 +639,26 @@ def _v3_pipeline(x, y, norm, vrow=None, *, navr, nwins, noverlap, taps_key,
         yr2 = (y.reshape(nch, nr, _LANES) if nch
                else jnp.zeros((1, nr, _LANES), jnp.float32))
         mh = max(m, 1)
+        ub = unroll * blk
         if m:
-            idx = (np.arange(nb) * (unroll * blk))[:, None] \
-                + np.arange(-m, 0)[None]
-            gidx = jnp.asarray(np.maximum(idx.reshape(-1), 0))
-            xh = jnp.take(xr2, gidx, axis=0).reshape(nb, m, _LANES)
-            xh = xh.at[0].set(0.0)
-            yh = jnp.take(yr2, gidx, axis=1).reshape(nchy, nb, m, _LANES)
-            yh = yh.at[:, 0].set(0.0)
+            # FIR halos as 8-row windowed BlockSpecs into the signal row
+            # views themselves (m <= 8 always; ub is a multiple of 8): a
+            # jnp.take halo gather in the same jit forced a full-array
+            # XLA pass (measured: 227 vs 378 GB/s on the FIR kernel)
+            assert m <= 8 and ub % 8 == 0, (m, ub)
+            rb8 = ub // 8
+            xh, yh = xr2, yr2
+            xh_spec = pl.BlockSpec(
+                (8, _LANES), lambda b: (jnp.maximum(b * rb8 - 1, 0), 0))
+            yh_spec = pl.BlockSpec(
+                (nchy, 8, _LANES),
+                lambda b: (0, jnp.maximum(b * rb8 - 1, 0), 0))
         else:
             xh = jnp.zeros((nb, 1, _LANES), jnp.float32)
             yh = jnp.zeros((nchy, nb, 1, _LANES), jnp.float32)
-        ub = unroll * blk
+            xh_spec = pl.BlockSpec((1, mh, _LANES), lambda b: (b, 0, 0))
+            yh_spec = pl.BlockSpec((nchy, 1, mh, _LANES),
+                                   lambda b: (0, b, 0, 0))
         # clamp block indices so no block starts past the array (a fully
         # out-of-bounds block index faults Mosaic; trailing partial blocks
         # are fine, and misread rows are zeroed by the logical row mask)
@@ -647,13 +668,13 @@ def _v3_pipeline(x, y, norm, vrow=None, *, navr, nwins, noverlap, taps_key,
             pl.BlockSpec((ub, _LANES), lambda b: (jnp.minimum(b, bm), 0)),
             pl.BlockSpec((Rh, _LANES),
                          lambda b: (jnp.minimum((b + 1) * ub // Rh, bh), 0)),
-            pl.BlockSpec((1, mh, _LANES), lambda b: (b, 0, 0)),
+            xh_spec,
             pl.BlockSpec((nchy, ub, _LANES),
                          lambda b: (0, jnp.minimum(b, bm), 0)),
             pl.BlockSpec((nchy, Rh, _LANES),
                          lambda b: (0, jnp.minimum((b + 1) * ub // Rh, bh),
                                     0)),
-            pl.BlockSpec((nchy, 1, mh, _LANES), lambda b: (0, b, 0, 0)),
+            yh_spec,
             pl.BlockSpec((1, N), lambda b: (0, 0)),
             *[pl.BlockSpec(bb.shape, lambda b: (0, 0))
               for bb in bands_flat],
@@ -666,7 +687,8 @@ def _v3_pipeline(x, y, norm, vrow=None, *, navr, nwins, noverlap, taps_key,
                     navr=navr, blk=blk, unroll=unroll, kprec=kprec,
                     cplx=cplx, kv=kv, m=m, nbands=len(bands_flat), nrv=nr,
                     sub=detrend_style == 1, auto_only=auto_only,
-                    vmask=vmask, paircross=paircross),
+                    vmask=vmask, paircross=paircross,
+                    inline_halo=bool(m)),
             grid=(nb,),
             in_specs=in_specs,
             out_specs=out_specs,
