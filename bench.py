@@ -500,8 +500,8 @@ def update_baseline_md(rows, headline, path="BASELINE.md"):
                 note += (f" = {min(100.0, 100 * gbs / ceil):.0f}% of "
                          "achievable HBM (bound)")
         if r.get("kernel_gbs"):
-            note += (f"; kernel-only {r['kernel_gbs']:.0f} GB/s "
-                     "(excl. API-boundary relayout)")
+            note += (f"; tiled-path {r['kernel_gbs']:.0f} GB/s "
+                     "(no API-boundary retile)")
         if r.get("mxu_util_device") is not None:
             note += f"; dev util {100 * r['mxu_util_device']:.0f}%"
         if r.get("variant"):

@@ -40,7 +40,7 @@ def test_update_baseline_md_idempotent(tmp_path):
     txt1 = path.read_text()
     assert txt1.count(bench._MD_BEGIN) == 1
     assert "welch" in txt1 and "fir" in txt1
-    assert "kernel-only 382 GB/s" in txt1
+    assert "tiled-path 382 GB/s" in txt1
     assert "% of achievable HBM" in txt1
     # fraction is capped at 100 even if a row beats the measured ceiling
     rows[1]["hbm_gbs_device"] = 999.0
