@@ -338,3 +338,25 @@ def test_stft_sharded_complex_twosided():
                                          onesided=False, detrend_style=1)
     np.testing.assert_allclose(freq_s, freq_1, rtol=1e-12)
     np.testing.assert_allclose(X_s, np.asarray(X_1), rtol=1e-9, atol=1e-12)
+
+
+@needs8
+def test_project_scaling_paths_structure():
+    """The per-path scaling projection must audit all three collective
+    patterns and carry efficiency + DCN sensitivity for each (small
+    geometry to keep the compile cheap)."""
+    from pyfft_tpu.parallel import project_scaling_paths
+    r = project_scaling_paths(nt=1 << 18, nch=2, nwins=1024, ntaps=33,
+                              hosts=2, chips_per_host=4,
+                              stft_nwins=512, fft_n=(1 << 18))
+    assert set(r) == {"chain", "stft", "fft4step"}
+    for path, row in r.items():
+        assert 0 < row["efficiency"]["no_overlap"] <= 1, path
+        band = row["dcn_sensitivity"]
+        assert band["dcn_x0.5"] <= band["dcn_x2"], path
+    # the four-step transform must actually show its all-to-alls
+    a2a = [c for c in r["fft4step"]["collectives"]
+           if c["op"] == "all-to-all"]
+    assert len(a2a) >= 3 and all(c["bytes"] > 0 for c in a2a)
+    # the STFT path models the result gather explicitly
+    assert r["stft"]["bytes"]["result_gather"] > 0
