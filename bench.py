@@ -355,7 +355,7 @@ def run_configs():
     dt4 = dt if dt_slab is None else min(dt, dt_slab)
     dev4 = dev if variant4 == "xla-mid" else dev_slab
     from pyfft_tpu.hilbert import analytic_flops_bytes
-    fl4, bb4 = analytic_flops_bytes(nt)
+    fl4, bb4 = analytic_flops_bytes(nt, variant=variant4)
     # the slab variant strips 12 of the 28 byte-passes, which flips the
     # governing roofline from HBM to the MXU at the bench size (565 GFLOP
     # dispatched vs ~1 GB moved — see BASELINE.md round-5 note)

@@ -221,8 +221,9 @@ def _analytic_factored(x, *, nfft, factors, prec):
 
 
 def _hilb_slab_kernel(ar_ref, ai_ref,
-                      c2_ref, s2_ref, c3_ref, s3_ref, t2r_ref, t2i_ref,
-                      or_ref, oi_ref, *, n1, n2, n3, nyq, prec):
+                      c2_ref, s2_ref, c3_ref, s3_ref,
+                      c3i_ref, s3i_ref, t2r_ref, t2i_ref,
+                      or_ref, oi_ref, *, n1, n2, n3, h3, nyq, prec):
     """Stages 2/3 + analytic mask + inverse 3'/2' of the factored chain,
     fused per k1 slab in VMEM.
 
@@ -267,23 +268,34 @@ def _hilb_slab_kernel(ar_ref, ai_ref,
     # mid twiddle W_{n2 n3}^{c k2} in (k2, c) layout
     t2r, t2i = t2r_ref[...], t2i_ref[...]
     Br, Bi = Br * t2r - Bi * t2i, Br * t2i + Bi * t2r
-    # stage 3: contract c -> (k2, k3)
-    C3, S3 = c3_ref[...], s3_ref[...]
-    Xr = dot(Br, C3) - dot(Bi, S3)
-    Xi = dot(Br, S3) + dot(Bi, C3)
+    # stage 3: contract c -> (k2, k3), and the analytic mask at
+    # k = k1 + n1 k2 + n1 n2 k3.  For even n3 (nyq = n1 n2 n3 / 2) the
+    # mask's survivor set is EXACTLY k3 < n3/2 — since k1 + n1 k2 <
+    # n1 n2, k < nyq iff k3 <= n3/2 - 1, and the lone unit-gain Nyquist
+    # bin sits at (k1, k2, k3) = (0, 0, n3/2) — so the forward stage-3
+    # and inverse stage-3' matmuls run at HALF width (the c3f/s3f tables
+    # arrive pre-sliced to h3 = n3/2 columns / c3i/s3i to h3 rows; the
+    # dropped Nyquist contribution is restored by a closed-form rank-1
+    # correction outside the kernel).  8 of the 16 slab matmuls halve.
+    C3f, S3f = c3_ref[...], s3_ref[...]
+    Xr = dot(Br, C3f) - dot(Bi, S3f)
+    Xi = dot(Br, S3f) + dot(Bi, C3f)
 
-    # analytic mask at k = k1 + n1 k2 + n1 n2 k3
-    i2 = jax.lax.broadcasted_iota(jnp.int32, (n2, n3), 0)
-    i3 = jax.lax.broadcasted_iota(jnp.int32, (n2, n3), 1)
+    i2 = jax.lax.broadcasted_iota(jnp.int32, (n2, h3), 0)
+    i3 = jax.lax.broadcasted_iota(jnp.int32, (n2, h3), 1)
     kk = k1 + n1 * i2 + (n1 * n2) * i3
-    h = jnp.where((kk == 0) | (kk == nyq), 1.0,
-                  jnp.where(kk < nyq, 2.0, 0.0)).astype(jnp.float32)
+    if h3 == n3:             # full-width path (odd n3): original mask
+        h = jnp.where((kk == 0) | (kk == nyq), 1.0,
+                      jnp.where(kk < nyq, 2.0, 0.0)).astype(jnp.float32)
+    else:                    # survivors all double except DC
+        h = jnp.where(kk == 0, 1.0, 2.0).astype(jnp.float32)
     Xr = Xr * h
     Xi = Xi * h
 
     # inverse stage 3' (C3v = C3, S3v = -S3): contract k3 -> (k2, c)
-    Br = dot(Xr, C3) + dot(Xi, S3)
-    Bi = dot(Xi, C3) - dot(Xr, S3)
+    C3i, S3i = c3i_ref[...], s3i_ref[...]
+    Br = dot(Xr, C3i) + dot(Xi, S3i)
+    Bi = dot(Xi, C3i) - dot(Xr, S3i)
     # conj mid twiddle (same tables, mirrored combine)
     Br, Bi = Br * t2r + Bi * t2i, Bi * t2r - Br * t2i
     # inverse stage 2': contract k2 -> (b, c); the conj stage-1 twiddles
@@ -327,35 +339,43 @@ def _analytic_factored_slab(x, *, nfft, factors, prec, interpret):
     tci = jnp.asarray(f32(-np.sin(ang_c)))[:, None, :]
     Ar, Ai = Ar * tbr - Ai * tbi, Ar * tbi + Ai * tbr
     Ar, Ai = Ar * tcr - Ai * tci, Ar * tci + Ai * tcr
-    tables = []
     n = np.arange(n2)
     a2 = (2.0 * np.pi / n2) * np.outer(n, n)
     n = np.arange(n3)
     a3 = (2.0 * np.pi / n3) * np.outer(n, n)
-    tables += [f32(np.cos(a2)), f32(-np.sin(a2)),
-               f32(np.cos(a3)), f32(-np.sin(a3)),
-               f32(np.cos(ang2t)), f32(-np.sin(ang2t))]
+    C3np, S3np = f32(np.cos(a3)), f32(-np.sin(a3))
     nyq = (nfft + 1) // 2 if nfft % 2 else nfft // 2
+    # even n3: the mask survivor set is exactly k3 < n3/2 (plus the lone
+    # Nyquist bin, restored below), so stage 3/3' tables are pre-sliced
+    # to half width — see the kernel docstring
+    h3 = n3 // 2 if n3 % 2 == 0 else n3
+    tables = [f32(np.cos(a2)), f32(-np.sin(a2)),
+              C3np[:, :h3], S3np[:, :h3],        # forward: (n3, h3)
+              C3np[:h3, :], S3np[:h3, :],        # inverse: (h3, n3)
+              f32(np.cos(ang2t)), f32(-np.sin(ang2t))]
 
     slab = lambda k: (k, 0, 0)  # noqa: E731
     zero2 = lambda k: (0, 0)    # noqa: E731
     Br, Bi = pl.pallas_call(
-        partial(_hilb_slab_kernel, n1=n1, n2=n2, n3=n3, nyq=nyq, prec=prec),
+        partial(_hilb_slab_kernel, n1=n1, n2=n2, n3=n3, h3=h3, nyq=nyq,
+                prec=prec),
         grid=(n1,),
         in_specs=[
             pl.BlockSpec((1, n2, n3), slab),
             pl.BlockSpec((1, n2, n3), slab),
             pl.BlockSpec((n2, n2), zero2),
             pl.BlockSpec((n2, n2), zero2),
-            pl.BlockSpec((n3, n3), zero2),
-            pl.BlockSpec((n3, n3), zero2),
+            pl.BlockSpec((n3, h3), zero2),
+            pl.BlockSpec((n3, h3), zero2),
+            pl.BlockSpec((h3, n3), zero2),
+            pl.BlockSpec((h3, n3), zero2),
             pl.BlockSpec((n2, n3), zero2),
             pl.BlockSpec((n2, n3), zero2),
         ],
         out_specs=[pl.BlockSpec((1, n2, n3), slab)] * 2,
         out_shape=[jax.ShapeDtypeStruct((n1, n2, n3), jnp.float32)] * 2,
         cost_estimate=pl.CostEstimate(
-            flops=int(2 * 16 * n1 * n2 * n3 * max(n2, n3)),
+            flops=int(2 * (8 * n3 + 8 * h3) * n1 * n2 * max(n2, n3)),
             bytes_accessed=int(16 * n1 * n2 * n3), transcendentals=0),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -375,16 +395,32 @@ def _analytic_factored_slab(x, *, nfft, factors, prec, interpret):
           + jnp.dot(S1, A2i, precision=P)) * s
     zi = (jnp.dot(C1, A2i, precision=P)
           - jnp.dot(S1, A2r, precision=P)) * s
-    return zr.reshape(nfft), zi.reshape(nfft)
+    zr = zr.reshape(nfft)
+    zi = zi.reshape(nfft)
+    if n3 % 2 == 0:
+        # restore the lone unit-gain Nyquist bin the half-width kernel
+        # drops: X[nyq] = sum_n x[n] (-1)^n (real for real input), and its
+        # ifft contribution is X[nyq]/N * (-1)^n — a closed-form rank-1
+        # term XLA fuses into the epilogue (zi is untouched: the Nyquist
+        # basis vector is real)
+        alt = 1.0 - 2.0 * (jnp.arange(nfft, dtype=jnp.int32)
+                           % 2).astype(jnp.float32)
+        xnyq = jnp.sum(x.astype(jnp.float32) * alt)
+        zr = zr + (xnyq * s) * alt
+    return zr, zi
 
 
-def analytic_flops_bytes(nfft, factors=None, prec="bf16x3"):
-    """(dispatched MXU FLOPs, approx HBM bytes) of ``_analytic_factored``.
+def analytic_flops_bytes(nfft, factors=None, prec="bf16x3",
+                         variant="xla-mid"):
+    """(dispatched MXU FLOPs, approx HBM bytes) of the analytic chain.
 
     FLOPs: the forward chain is 2 matmuls of size ``n1`` plus 4 einsums of
     size ``n2`` and 4 of ``n3`` (each ``2*n*nfft`` FLOPs); the inverse
     mirrors with 4 matmuls per stage -> ``nfft*(12 n1 + 16 n2 + 16 n3)``
     logical FLOPs, times the precision pass count (bf16x3 = 3).
+    ``variant='slab'`` runs the 8 stage-3/3' matmuls at half width for
+    even ``n3`` (``16 n3 -> 12 n3``) — the analytic mask's survivor set
+    is exactly the lower half-spectrum.
 
     Bytes: the 6 matmul stages each read and write the full (re, im) pair
     (elementwise twiddles fuse into neighbors) -> ``~24 * 4 * nfft`` plus
@@ -400,7 +436,8 @@ def analytic_flops_bytes(nfft, factors=None, prec="bf16x3"):
     n1, n2, n3 = factors
     from .ops.precision import KERNEL_PASSES
     passes = KERNEL_PASSES[prec]
-    flops = passes * nfft * (12.0 * n1 + 16.0 * n2 + 16.0 * n3)
+    w3 = 12.0 if (variant == "slab" and n3 % 2 == 0) else 16.0
+    flops = passes * nfft * (12.0 * n1 + 16.0 * n2 + w3 * n3)
     nbytes = (24 + 4) * 4.0 * nfft
     return flops, nbytes
 
