@@ -292,6 +292,18 @@ def test_fft_pwelch_mesh_complex_matches_single_device():
     np.testing.assert_allclose(r2[3], r1[3], rtol=1e-8, atol=1e-12)  # Pyy
     np.testing.assert_allclose(r2[1], r1[1], rtol=1e-8, atol=1e-12)  # Pxy
     np.testing.assert_allclose(r2[5], r1[5], rtol=1e-6, atol=1e-8)   # phase
+    # the sharded lazy segment fill must also cover the complex/two-sided
+    # configuration (stft_sharded raw mode rides stacked re/im pairs)
+    info1, info2 = r1[6], r2[6]
+    assert "Xfft_seg" not in info2.__dict__
+    sx = np.abs(np.asarray(info1.Xfft_seg)).max()
+    np.testing.assert_allclose(np.asarray(info2.Xfft_seg),
+                               np.asarray(info1.Xfft_seg),
+                               atol=1e-9 * sx)
+    np.testing.assert_allclose(np.asarray(info2.Pxy_seg),
+                               np.asarray(info1.Pxy_seg),
+                               atol=1e-9 * np.abs(np.asarray(
+                                   info1.Pxy_seg)).max())
 
 
 @needs8
