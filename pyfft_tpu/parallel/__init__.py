@@ -10,7 +10,7 @@ from .fft import (fft_sharded, ifft_sharded, rfft_sharded, irfft_sharded,
 from .runtime import (init_distributed, make_host_mesh, scaling_report,
                       measure_scaling, audit_collectives, project_scaling,
                       project_scaling_paths)
-from .stft import stft_sharded
+from .stft import stft_sharded, specgram_sharded
 
 __all__ = ["make_mesh", "shard_map", "P", "Mesh", "NamedSharding",
            "welch_psd_sharded", "plan_shard_segments", "fir_filter_sharded",
@@ -18,4 +18,4 @@ __all__ = ["make_mesh", "shard_map", "P", "Mesh", "NamedSharding",
            "axis_swap", "four_step_factor",
            "init_distributed", "make_host_mesh", "scaling_report",
            "measure_scaling",
-           "stft_sharded"]
+           "stft_sharded", "specgram_sharded"]

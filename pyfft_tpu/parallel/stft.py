@@ -25,16 +25,16 @@ from .mesh import shard_map, P
 from .welch import plan_shard_segments, _detrend_sharded, _halo_right, \
     _MeshBox
 
-__all__ = ["stft_sharded"]
+__all__ = ["stft_sharded", "specgram_sharded"]
 
 
 @partial(jax.jit, static_argnames=("navr", "nwins", "hop", "nfft",
                                    "nnyquist", "onesided", "detrend_style",
                                    "backend", "B", "M", "mesh_static",
-                                   "cplx", "raw"))
+                                   "cplx", "raw", "power"))
 def _stft_sharded_jit(x, tvec, win, s1, sqrt_enbw, *, navr, nwins, hop,
                       nfft, nnyquist, onesided, detrend_style, backend, B,
-                      M, mesh_static, cplx=False, raw=False):
+                      M, mesh_static, cplx=False, raw=False, power=False):
     mesh = mesh_static.mesh
 
     def step(x_l, t_l, win_l, s1_l, senbw_l):
@@ -75,9 +75,24 @@ def _stft_sharded_jit(x, tvec, win, s1, sqrt_enbw, *, navr, nwins, hop,
             Xr = jnp.fft.fftshift(Xr, axes=-1)
             Xi = jnp.fft.fftshift(Xi, axes=-1)
             scale = 1.0 / (s1_l * senbw_l)
-        return (Xr * scale, Xi * scale, tt,
-                g_ids * valid - (1 - valid))     # -1 marks padding rows
+        Xr = Xr * scale
+        Xi = Xi * scale
+        gid = g_ids * valid - (1 - valid)        # -1 marks padding rows
+        if power:
+            # power-spectrogram consumers gather the REAL |X|^2 grid —
+            # half the bytes of the complex pair (the collective-pressure
+            # row the scaling projection flags for STFT-shaped outputs)
+            return Xr * Xr + Xi * Xi, tt, gid
+        return Xr, Xi, tt, gid
 
+    if power:
+        return shard_map(
+            step, mesh,
+            in_specs=(P(None, "t") if cplx else P("t"), P("t"),
+                      P(), P(), P()),
+            out_specs=(P("t", None), P("t"), P("t")),
+            check_vma=False,
+        )(x, tvec, win, s1, sqrt_enbw)
     return shard_map(
         step, mesh,
         in_specs=(P(None, "t") if cplx else P("t"), P("t"), P(), P(), P()),
@@ -88,7 +103,7 @@ def _stft_sharded_jit(x, tvec, win, s1, sqrt_enbw, *, navr, nwins, hop,
 
 def stft_sharded(x, tvec, win, plan: seg.SegmentPlan, fs, mesh, *,
                  onesided=True, detrend_style=1, fft_backend=None,
-                 raw=False):
+                 raw=False, power=False):
     """Distributed STFT of ``x (nt,)`` over the ``'t'`` mesh axis.
 
     Real or complex input (complex rides as a stacked (re, im) pair and is
@@ -101,6 +116,11 @@ def stft_sharded(x, tvec, win, plan: seg.SegmentPlan, fs, mesh, *,
     ``Xfft_seg`` contract of reference ``fft_analysis.py:391-393``); used
     by the distributed lazy segment fill so per-segment arrays never
     require the signal to fit one device.
+
+    ``power=True`` reduces to ``|X|^2`` ON-DEVICE and gathers the real
+    power grid instead of the complex pair — half the host/collective
+    bytes, the right entry for spectrogram-shaped consumers (returns
+    ``(tt, freq, P (navr, nfreq) real)``).
     """
     backend = resolve_fft_backend(fft_backend)
     if backend == "pallas":
@@ -122,21 +142,26 @@ def stft_sharded(x, tvec, win, plan: seg.SegmentPlan, fs, mesh, *,
         # stacked (re, im) pair — no complex dtype reaches the device
         x_np = np.stack([np.ascontiguousarray(x_np.real),
                          np.ascontiguousarray(x_np.imag)])
-    with mesh:
-        Xr, Xi, tt, gid = _stft_sharded_jit(
-            jnp.asarray(x_np, wdt), jnp.asarray(tvec, wdt),
+    kw = dict(navr=plan.navr, nwins=plan.nwins,
+              hop=hop, nfft=plan.nfft, nnyquist=plan.nnyquist,
+              onesided=bool(onesided), detrend_style=int(detrend_style),
+              backend=backend, B=B, M=M, mesh_static=_MeshBox(mesh),
+              cplx=cplx, raw=bool(raw), power=bool(power))
+    args = (jnp.asarray(x_np, wdt), jnp.asarray(tvec, wdt),
             jnp.asarray(win_np), jnp.asarray(s1),
-            jnp.asarray(np.sqrt(enbw)), navr=plan.navr, nwins=plan.nwins,
-            hop=hop, nfft=plan.nfft, nnyquist=plan.nnyquist,
-            onesided=bool(onesided), detrend_style=int(detrend_style),
-            backend=backend, B=B, M=M, mesh_static=_MeshBox(mesh),
-            cplx=cplx, raw=bool(raw))
+            jnp.asarray(np.sqrt(enbw)))
+    with mesh:
+        if power:
+            Pw, tt, gid = _stft_sharded_jit(*args, **kw)
+            Xr, Xi = np.asarray(Pw), None
+        else:
+            Xr, Xi, tt, gid = _stft_sharded_jit(*args, **kw)
+            Xr, Xi = np.asarray(Xr), np.asarray(Xi)
 
-    Xr, Xi = np.asarray(Xr), np.asarray(Xi)
     tt, gid = np.asarray(tt), np.asarray(gid)
     keep = gid >= 0
     order = np.argsort(gid[keep], kind="stable")
-    X = (Xr[keep] + 1j * Xi[keep])[order]
+    X = (Xr[keep] if Xi is None else (Xr[keep] + 1j * Xi[keep]))[order]
     tt = tt[keep][order]
     nfreq = plan.nfft if raw else (plan.nnyquist if onesided
                                    else plan.nfft)
@@ -146,3 +171,68 @@ def stft_sharded(x, tvec, win, plan: seg.SegmentPlan, fs, mesh, *,
                 else np.fft.fftshift(freq))
     assert X.shape == (plan.navr, nfreq)
     return tt, freq, X
+
+
+def specgram_sharded(t, s, mesh, wl=512, hanning=True, overlap=True,
+                     windowAverage=None, fft_backend=None):
+    """Distributed simple spectrogram — the reference ``specgram``
+    contract (``spectrogram.py:49-134``: per-window two-sided power
+    ``|FFT(hanning * seg)|^2 / wl`` with the sqrt(8/3) Hann correction,
+    hop ``wl/2`` with overlap, reference time-axis formulas) computed
+    where the samples live.  Only the REAL ``(wl, nW)`` power grid is
+    assembled on the host — half the bytes of gathering the complex STFT,
+    which the 2-host scaling projection identifies as the dominant cost
+    of spectrogram-shaped outputs.
+
+    Returns ``(time, fAxis, spectrogram[wl, nW])`` exactly like
+    :func:`pyfft_tpu.spectrogram.specgram` (asserted in tests).
+    """
+    s = np.asarray(s).flatten()
+    t = np.asarray(t)
+    n = len(s)
+    dt = np.abs(t[1] - t[0])
+    wl = int(wl)
+    if windowAverage is not None:
+        overlap = False
+    if overlap:
+        nW = 2 * (n - (n % wl)) // wl - 1
+        hop = wl // 2
+    else:
+        nW = (n - (n % wl)) // wl - 1
+        hop = wl
+    if nW < 1:
+        raise ValueError(f"window length {wl} too long for {n} samples")
+    win = np.hanning(wl) if hanning else np.ones(wl)
+
+    # zero-pad to a shard multiple (beyond the last frame; frames never
+    # read the padding, and detrend is off, so the result is unchanged)
+    tsh = mesh.shape["t"]
+    L = -(-n // tsh) * tsh
+    s_p = np.pad(s.astype(np.float64), (0, L - n))
+    t_p = np.pad(t.astype(np.float64), (0, L - n))
+    plan = seg.SegmentPlan(nsig=L, nwins=wl, noverlap=wl - hop, navr=nW,
+                           nfft=wl, nnyquist=wl // 2 + 1)
+    _, _, Pw = stft_sharded(s_p, t_p, win, plan, 1.0 / dt, mesh,
+                            onesided=False, detrend_style=0,
+                            fft_backend=fft_backend, raw=True, power=True)
+    Pw = Pw / wl
+    if hanning:
+        Pw = np.sqrt(8.0 / 3.0) * Pw
+    spectrogram_arr = Pw.T                                # (wl, nW)
+
+    fAxis = np.fft.fftfreq(wl, dt)
+    if windowAverage is not None:
+        windowAverage = int(windowAverage)
+        nA = nW // windowAverage
+        avg = spectrogram_arr[:, :nA * windowAverage]
+        avg = avg.reshape(wl, nA, windowAverage).mean(axis=-1)
+        time = np.linspace(t[0] + wl * dt / 2,
+                           t[0] + wl * dt * ((nW - 1) + 1 / 2), num=nA)
+        return time, fAxis, avg
+    if not overlap:
+        time = np.linspace(t[0] + wl * dt / 2,
+                           t[0] + wl * dt * ((nW - 1) + 1 / 2), num=nW)
+    else:
+        time = np.linspace(t[0] + wl * dt / 2,
+                           t[0] + wl * dt * ((nW / 2 - 1) + 1 / 2), num=nW)
+    return time, fAxis, spectrogram_arr

@@ -95,7 +95,9 @@ def main():
         "all-to-alls must stay on ICI — shard those paths with",
         "d = chips-per-host and gather results host-locally, which the",
         "mesh constructors (`make_host_mesh`) already express by placing",
-        "'t' innermost.",
+        "'t' innermost.  Spectrogram consumers should use",
+        "`stft_sharded(power=True)` / `specgram_sharded`, which reduce",
+        "|X|^2 on-device and halve the gathered bytes.",
         _END,
     ]
     block = "\n".join(lines)

@@ -372,3 +372,45 @@ def test_project_scaling_paths_structure():
     assert len(a2a) >= 3 and all(c["bytes"] > 0 for c in a2a)
     # the STFT path models the result gather explicitly
     assert r["stft"]["bytes"]["result_gather"] > 0
+
+
+@needs8
+@pytest.mark.parametrize("kwargs", [dict(), dict(hanning=False),
+                                    dict(overlap=False),
+                                    dict(windowAverage=3)])
+def test_specgram_sharded_matches_single(kwargs):
+    """The distributed simple spectrogram must reproduce
+    spectrogram.specgram exactly (same frames, two-sided power, Hann
+    correction, time-axis formulas) while gathering only the real power
+    grid."""
+    from pyfft_tpu.spectrogram import specgram
+    from pyfft_tpu.parallel.stft import specgram_sharded
+    rng = np.random.default_rng(6)
+    nt, fs = 6000, 1e3                  # non-multiple of wl AND of shards
+    t = np.arange(nt) / fs
+    s = np.sin(2 * np.pi * 120.0 * t) + 0.1 * rng.standard_normal(nt)
+    mesh = par.make_mesh(ch=1, t=8)
+    tm1, f1, P1 = specgram(t, s, wl=256, **kwargs)
+    tm2, f2, P2 = specgram_sharded(t, s, mesh, wl=256, **kwargs)
+    np.testing.assert_allclose(f2, f1, atol=1e-12)
+    np.testing.assert_allclose(tm2, tm1, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(P2), np.asarray(P1),
+                               rtol=1e-8, atol=1e-10 * np.max(P1))
+
+
+@needs8
+def test_stft_sharded_power_mode():
+    """power=True must equal |stft_sharded|^2 with a real result."""
+    from pyfft_tpu.parallel.stft import stft_sharded
+    rng = np.random.default_rng(7)
+    nt, fs = 4096, 1e3
+    t = np.arange(nt) / fs
+    x = np.sin(2 * np.pi * 100 * t) + 0.1 * rng.standard_normal(nt)
+    plan = seg.plan_segments(nt, nwins=256, windowoverlap=0.5)
+    win = np.hanning(257)[:-1]
+    mesh = par.make_mesh(ch=1, t=8)
+    _, _, X = stft_sharded(x, t, win, plan, fs, mesh)
+    _, _, P = stft_sharded(x, t, win, plan, fs, mesh, power=True)
+    assert not np.iscomplexobj(P)
+    np.testing.assert_allclose(P, np.abs(X) ** 2, rtol=1e-10,
+                               atol=1e-12 * np.max(np.abs(X) ** 2))
