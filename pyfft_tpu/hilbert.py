@@ -244,15 +244,17 @@ def _hilb_slab_kernel(ar_ref, ai_ref,
     Ai = ai_ref[0]
 
     # Mosaic's dot lowering supports only DEFAULT and HIGHEST precision —
-    # the 3-pass compromise is spelled out manually via the same hi/lo
-    # bf16 split every other kernel uses (ops/precision.py)
+    # the 3-pass compromise routes through ops/precision.dot_bf16x3, the
+    # same split every other kernel uses.  The table operand is split
+    # in-kernel (a few VPU ops on constants already resident in VMEM —
+    # <0.1% of the 16 matmuls — not worth doubling the table plumbing
+    # with host-side pre-splits).
     if prec == "bf16x3":
+        from .ops.precision import dot_bf16x3
+
         def dot(a, b):
-            ah, al = split_bf16(a)
             bh, bl = split_bf16(b)
-            d = lambda p, q: jnp.dot(p, q,                  # noqa: E731
-                                     preferred_element_type=jnp.float32)
-            return d(ah, bh) + d(ah, bl) + d(al, bh)
+            return dot_bf16x3(a, bh, bl)
     else:
         _P = (jax.lax.Precision.HIGHEST if prec == "highest"
               else jax.lax.Precision.DEFAULT)

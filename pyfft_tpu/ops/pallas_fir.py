@@ -329,10 +329,12 @@ def fir_pallas(x, taps, block_rows=512, interpret=None, precision=None,
     if squeeze:
         x = x[None, :]
     m = -(-(K - 1) // _LANES)
-    rows = int(max(8, min(block_rows, 1024)))
+    # multiple of 8: the inline-halo BlockSpec reads 8-row windows
+    rows = int(max(8, min(block_rows, 1024) // 8 * 8))
     # G mirrors _fir_call's channel grouping (1 when transposed)
     rows = _fit_block_rows(rows, 1 if transposed_out else min(x.shape[0], 8),
                            m)
+    rows = max(8, rows // 8 * 8)
 
     bands = _band_blocks(tuple(taps.tolist()), kprec)
     bands_flat = tuple(b for blk in bands for b in blk)
@@ -362,13 +364,15 @@ def fir_pallas(x, taps, block_rows=512, interpret=None, precision=None,
 def tile_rows(x, block_rows=512):
     """``x (nch, nt) | (nt,) -> (xr (nch, nrows, 128), nt)``: the
     kernel-native row view, zero-padded so ``nrows`` is a multiple of
-    ``block_rows``.  Time sample ``t`` of channel ``c`` lives at
-    ``xr[c, t // 128, t % 128]``.  Pay this retiling pass once per
-    pipeline, not once per filter call."""
+    ``block_rows`` (rounded up to a multiple of 8 — the inline-halo
+    window height, so the view always admits a legal blocking).  Time
+    sample ``t`` of channel ``c`` lives at ``xr[c, t // 128, t % 128]``.
+    Pay this retiling pass once per pipeline, not once per filter call."""
     x = jnp.asarray(x, jnp.float32)
     if x.ndim == 1:
         x = x[None]
     nch, nt = x.shape
+    block_rows = max(8, int(block_rows) + (-int(block_rows)) % 8)
     nrows = -(-nt // (block_rows * _LANES)) * block_rows
     L = nrows * _LANES
     if L != nt:
@@ -407,12 +411,17 @@ def fir_pallas_tiled(xr, taps, interpret=None, precision=None):
                          f"got {xr.shape}")
     nch, nrows, _ = xr.shape
     m = -(-(K - 1) // _LANES)
-    rows = _fit_block_rows(int(min(1024, nrows)), min(nch, 8), m)
-    while rows > 8 and nrows % rows:
-        rows //= 2
-    if nrows % rows or rows <= m:
+    # largest multiple of 8 (the inline-halo window height) that divides
+    # nrows and fits the VMEM budget
+    cap = _fit_block_rows(int(min(1024, nrows)), min(nch, 8), m)
+    rows = 0
+    for r in range(cap // 8 * 8, 7, -8):
+        if nrows % r == 0:
+            rows = r
+            break
+    if not rows or rows <= m:
         raise ValueError(
-            f"nrows={nrows} admits no row blocking > m={m}; "
+            f"nrows={nrows} admits no multiple-of-8 row blocking > m={m}; "
             "re-tile with tile_rows(x) (default blocking)")
     bands = _band_blocks(tuple(taps.tolist()), kprec)
     bands_flat = tuple(b for blk in bands for b in blk)

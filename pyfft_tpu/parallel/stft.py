@@ -31,15 +31,18 @@ __all__ = ["stft_sharded", "specgram_sharded"]
 @partial(jax.jit, static_argnames=("navr", "nwins", "hop", "nfft",
                                    "nnyquist", "onesided", "detrend_style",
                                    "backend", "B", "M", "mesh_static",
-                                   "cplx", "raw", "power"))
+                                   "cplx", "raw", "power", "nt_true"))
 def _stft_sharded_jit(x, tvec, win, s1, sqrt_enbw, *, navr, nwins, hop,
                       nfft, nnyquist, onesided, detrend_style, backend, B,
-                      M, mesh_static, cplx=False, raw=False, power=False):
+                      M, mesh_static, cplx=False, raw=False, power=False,
+                      nt_true=None):
     mesh = mesh_static.mesh
 
     def step(x_l, t_l, win_l, s1_l, senbw_l):
-        # complex signals arrive as a stacked (re, im) leading axis of 2
-        x_l = _detrend_sharded(x_l, detrend_style, "t")
+        # complex signals arrive as a stacked (re, im) leading axis of 2.
+        # nt_true = unpadded length, so shard-padding zeros cannot skew
+        # the global detrend moments (same contract as welch_psd_sharded)
+        x_l = _detrend_sharded(x_l, detrend_style, "t", nt_true=nt_true)
         halo = nwins - 1
         x_h = _halo_right(x_l, halo, "t")
         t_h = _halo_right(t_l, halo, "t")
@@ -127,8 +130,20 @@ def stft_sharded(x, tvec, win, plan: seg.SegmentPlan, fs, mesh, *,
         backend = "mxu"
     tshards = mesh.shape["t"]
     hop = plan.nwins - plan.noverlap
-    B, M = plan_shard_segments(len(np.asarray(x)), plan.nwins, hop,
-                               plan.navr, tshards)
+
+    # zero-pad to a shard multiple: every valid segment ends within the
+    # true span (plan construction), padded frames are masked out by the
+    # g_ids < navr validity test, and nt_true keeps the detrend moments
+    # exact — so any signal length welch_psd_sharded accepts works here
+    # too (the lazy mesh segment fill depends on this)
+    x_np = np.asarray(x)
+    tvec = np.asarray(tvec, dtype=np.float64)
+    nt_true = x_np.shape[-1]
+    L = -(-nt_true // tshards) * tshards
+    if L != nt_true:
+        x_np = np.pad(x_np, (0, L - nt_true))
+        tvec = np.pad(tvec, (0, L - nt_true))
+    B, M = plan_shard_segments(L, plan.nwins, hop, plan.navr, tshards)
 
     win_np = np.asarray(win, dtype=np.float64)
     s1 = seg.get_s1(win_np)
@@ -136,13 +151,12 @@ def stft_sharded(x, tvec, win, plan: seg.SegmentPlan, fs, mesh, *,
 
     # widest dtype the backend actually supports (f32 unless x64 is enabled)
     wdt = jax.dtypes.canonicalize_dtype(np.float64)
-    x_np = np.asarray(x)
     cplx = np.iscomplexobj(x_np)
     if cplx:
         # stacked (re, im) pair — no complex dtype reaches the device
         x_np = np.stack([np.ascontiguousarray(x_np.real),
                          np.ascontiguousarray(x_np.imag)])
-    kw = dict(navr=plan.navr, nwins=plan.nwins,
+    kw = dict(navr=plan.navr, nwins=plan.nwins, nt_true=nt_true,
               hop=hop, nfft=plan.nfft, nnyquist=plan.nnyquist,
               onesided=bool(onesided), detrend_style=int(detrend_style),
               backend=backend, B=B, M=M, mesh_static=_MeshBox(mesh),
@@ -204,15 +218,10 @@ def specgram_sharded(t, s, mesh, wl=512, hanning=True, overlap=True,
         raise ValueError(f"window length {wl} too long for {n} samples")
     win = np.hanning(wl) if hanning else np.ones(wl)
 
-    # zero-pad to a shard multiple (beyond the last frame; frames never
-    # read the padding, and detrend is off, so the result is unchanged)
-    tsh = mesh.shape["t"]
-    L = -(-n // tsh) * tsh
-    s_p = np.pad(s.astype(np.float64), (0, L - n))
-    t_p = np.pad(t.astype(np.float64), (0, L - n))
-    plan = seg.SegmentPlan(nsig=L, nwins=wl, noverlap=wl - hop, navr=nW,
+    plan = seg.SegmentPlan(nsig=n, nwins=wl, noverlap=wl - hop, navr=nW,
                            nfft=wl, nnyquist=wl // 2 + 1)
-    _, _, Pw = stft_sharded(s_p, t_p, win, plan, 1.0 / dt, mesh,
+    _, _, Pw = stft_sharded(s.astype(np.float64), t.astype(np.float64),
+                            win, plan, 1.0 / dt, mesh,
                             onesided=False, detrend_style=0,
                             fft_backend=fft_backend, raw=True, power=True)
     Pw = Pw / wl

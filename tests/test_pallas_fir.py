@@ -90,3 +90,24 @@ def test_fir_pallas_tiled_rejects_bad_layout():
     from pyfft_tpu.ops.pallas_fir import fir_pallas_tiled
     with pytest.raises(ValueError, match="tile_rows"):
         fir_pallas_tiled(np.zeros((2, 100)), np.ones(5))
+
+
+def test_fir_block_rows_not_multiple_of_8():
+    """Non-multiple-of-8 block_rows must still compute correctly (the
+    inline-halo window needs 8-row alignment — rows are sanitized, not
+    asserted; round-5 review finding)."""
+    rng = np.random.default_rng(5)
+    nch, nt = 2, 20_000
+    x = rng.standard_normal((nch, nt)).astype(np.float32)
+    taps = flt.firwin(65, 0.25)
+    want = np.stack([np.convolve(x[c], taps, "full")[:nt]
+                     for c in range(nch)])
+    for br in (100, 12, 7):
+        got = np.asarray(fir_pallas(x, taps, block_rows=br))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    # tiled entry with an awkward tile_rows blocking
+    from pyfft_tpu.ops.pallas_fir import (fir_pallas_tiled, tile_rows,
+                                          untile_rows)
+    xr, nt_out = tile_rows(x, block_rows=100)       # rounded up to 104
+    got = np.asarray(untile_rows(fir_pallas_tiled(xr, taps), nt_out))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

@@ -414,3 +414,46 @@ def test_stft_sharded_power_mode():
     assert not np.iscomplexobj(P)
     np.testing.assert_allclose(P, np.abs(X) ** 2, rtol=1e-10,
                                atol=1e-12 * np.max(np.abs(X) ** 2))
+
+
+@needs8
+@pytest.mark.parametrize("detrend", [1, -1])
+def test_stft_sharded_non_divisible_length(detrend):
+    """A span whose length is not a multiple of the shard count must work
+    (internal zero-padding) with EXACT detrend moments (nt_true) — the
+    lazy mesh segment fill depends on this (round-5 review finding)."""
+    from pyfft_tpu.parallel.stft import stft_sharded
+    from pyfft_tpu.fftanal import stft_segments
+    rng = np.random.default_rng(8)
+    nt, fs = 4999, 1e3                  # 4999 % 8 != 0
+    t = np.arange(nt) / fs
+    x = (np.sin(2 * np.pi * 100 * t) + 0.3
+         + 0.1 * rng.standard_normal(nt))
+    plan = seg.plan_segments(nt, nwins=256, windowoverlap=0.5)
+    win = np.hanning(257)[:-1]
+    mesh = par.make_mesh(ch=1, t=8)
+    tt_s, fq_s, X_s = stft_sharded(x, t, win, plan, fs, mesh,
+                                   detrend_style=detrend)
+    tt_1, fq_1, X_1, _ = stft_segments(x, t, win, plan, fs,
+                                       detrend_style=detrend)
+    np.testing.assert_allclose(tt_s, np.asarray(tt_1), rtol=1e-12)
+    np.testing.assert_allclose(X_s, np.asarray(X_1), rtol=1e-9,
+                               atol=1e-10 * np.abs(np.asarray(X_1)).max())
+
+
+@needs8
+def test_mesh_segment_fill_non_divisible_span():
+    """fft_pwelch(mesh=...) whose analyzed span is not a shard multiple:
+    the sharded lazy fill must still produce the per-segment arrays
+    (round-5 review finding — it raised ValueError before)."""
+    from pyfft_tpu.spectral import fft_pwelch
+    t, x, y = _sigs(nt=4996)            # reflect-extended span % 8 != 0
+    mesh = par.make_mesh(ch=1, t=8)
+    kw = dict(tbounds=[t[3], t[-5]], Navr=16, plotit=False, verbose=False)
+    r1 = fft_pwelch(t, x, y, **kw)
+    r2 = fft_pwelch(t, x, y, mesh=mesh, **kw)
+    np.testing.assert_allclose(r2[2], r1[2], rtol=1e-8, atol=1e-12)
+    info1, info2 = r1[6], r2[6]
+    np.testing.assert_allclose(
+        np.asarray(info2.Xfft_seg), np.asarray(info1.Xfft_seg),
+        atol=1e-9 * np.abs(np.asarray(info1.Xfft_seg)).max())
