@@ -6,6 +6,7 @@ from .mesh import make_mesh, shard_map, P, Mesh, NamedSharding
 from .welch import welch_psd_sharded, plan_shard_segments
 from .fir import fir_filter_sharded
 from .fft import (fft_sharded, ifft_sharded, rfft_sharded, irfft_sharded,
+                  hilbert_sharded,
                   axis_swap, four_step_factor)
 from .runtime import (init_distributed, make_host_mesh, scaling_report,
                       measure_scaling, audit_collectives, project_scaling,
@@ -15,6 +16,7 @@ from .stft import stft_sharded, specgram_sharded
 __all__ = ["make_mesh", "shard_map", "P", "Mesh", "NamedSharding",
            "welch_psd_sharded", "plan_shard_segments", "fir_filter_sharded",
            "fft_sharded", "ifft_sharded", "rfft_sharded", "irfft_sharded",
+           "hilbert_sharded",
            "axis_swap", "four_step_factor",
            "init_distributed", "make_host_mesh", "scaling_report",
            "measure_scaling",

@@ -45,7 +45,7 @@ from ..spectral import resolve_fft_backend
 from .mesh import shard_map, P, NamedSharding
 
 __all__ = ["fft_sharded", "ifft_sharded", "rfft_sharded", "irfft_sharded",
-           "axis_swap", "four_step_factor"]
+           "hilbert_sharded", "axis_swap", "four_step_factor"]
 
 
 def four_step_factor(n: int, d: int):
@@ -335,3 +335,35 @@ def axis_swap(x, mesh, axis_name, sharded_axis, target_axis):
     with mesh:
         return shard_map(body, mesh, in_specs=(P(*in_spec),),
                          out_specs=P(*out_spec))(x)
+
+
+def hilbert_sharded(x, mesh, axis_name="t", backend=None):
+    """Distributed analytic signal ``x + j H[x]`` along the last axis.
+
+    The reference's Hilbert transform (``hilbert.py:22-67``) at beyond-
+    one-chip lengths: distributed forward FFT (four-step, or Bluestein
+    when ``d^2 !| N``), the analytic spectral mask applied ELEMENTWISE on
+    the contiguous frequency shards where they live (no gather), then the
+    distributed inverse — everything stays a sharded real pair on device.
+    Returns ``(zr, zi)`` sharded along ``axis_name``.
+    """
+    backend = resolve_fft_backend(backend)
+    if backend == "pallas":
+        backend = "mxu"
+    n = np.shape(x)[-1]
+    d = mesh.shape[axis_name]
+    yr, yi = fft_sharded(x, mesh, axis_name, backend)
+
+    from ..hilbert import analytic_mask
+    lead = np.shape(yr)[:-1]
+    sh = NamedSharding(mesh, P(*([None] * len(lead) + [axis_name])))
+    hj = jax.device_put(jnp.asarray(analytic_mask(n), yr.dtype), sh)
+    yr = yr * hj
+    yi = yi * hj
+
+    if n % (d * d):
+        # distributed Bluestein inverse via conjugation:
+        # ifft(z) = conj(fft(conj(z))) / n
+        ar, ai = _bluestein_sharded(yr, -yi, mesh, axis_name, backend)
+        return ar / n, -(ai / n)
+    return _fourstep_run(yr, yi, mesh, axis_name, backend, inverse=True)

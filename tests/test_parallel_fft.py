@@ -109,3 +109,23 @@ def test_rfft_irfft_sharded_roundtrip():
     xt = irfft_sharded(re[:n // 4], im[:n // 4], n, mesh)
     np.testing.assert_allclose(
         xt, np.fft.irfft(ref[:n // 4], n=n), atol=1e-9)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("n", [64 * 64, 800])   # four-step and Bluestein
+def test_hilbert_sharded_matches_scipy(n):
+    """Distributed analytic signal (mask applied on the frequency shards
+    between the distributed forward and inverse transforms) must match
+    scipy.signal.hilbert and the single-device pyfft_tpu.hilbert."""
+    from scipy.signal import hilbert as sp_hilbert
+    from pyfft_tpu.parallel import hilbert_sharded, make_mesh
+    from pyfft_tpu.hilbert import hilbert as h1
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(n)
+    mesh = make_mesh(ch=1, t=8)
+    zr, zi = hilbert_sharded(x, mesh)
+    z = np.asarray(zr) + 1j * np.asarray(zi)
+    want = sp_hilbert(x)
+    scl = np.abs(want).max()
+    np.testing.assert_allclose(z, want, atol=1e-8 * scl)
+    np.testing.assert_allclose(z, np.asarray(h1(x)), atol=1e-8 * scl)
