@@ -483,7 +483,7 @@ def _envelope_phase_dev(u, *, nfft, axis, prec=None, slab=None):
     return jnp.sqrt(zr * zr + zi * zi), jnp.arctan2(zi, zr)
 
 
-def envelope_phase(uin, nfft=None, axes=-1):
+def envelope_phase(uin, nfft=None, axes=-1, mesh=None):
     """AM/PM demodulation via the analytic signal, reduced ON DEVICE.
 
     Returns ``(envelope, phase)`` as real arrays — the quantities the
@@ -492,10 +492,27 @@ def envelope_phase(uin, nfft=None, axes=-1):
     — without ever materializing the complex analytic signal on the host
     (a 2x transfer saving, and the TPU backend cannot ship complex
     buffers at all).
+
+    With ``mesh`` (a ``jax.sharding.Mesh`` with a ``'t'`` axis) the
+    transform runs distributed (:func:`parallel.fft.hilbert_sharded`) and
+    the envelope/phase reductions happen on the shards — for signals that
+    only fit the mesh.
     """
     uin = np.atleast_1d(np.asarray(uin, dtype=np.float32))
     if nfft is None:
         nfft = uin.shape[axes]
+    if mesh is not None:
+        from .parallel.fft import hilbert_sharded
+        x = uin if uin.ndim == 1 else uin.reshape(-1)
+        nfft = int(nfft)
+        if len(x) < nfft:
+            x = np.pad(x, (0, nfft - len(x)))
+        else:
+            x = x[:nfft]
+        zr, zi = hilbert_sharded(x, mesh)
+        env = jnp.sqrt(zr * zr + zi * zi)
+        ph = jnp.arctan2(zi, zr)
+        return np.asarray(env).squeeze(), np.asarray(ph).squeeze()
     env, ph = _envelope_phase_dev(jnp.asarray(uin), nfft=int(nfft),
                                   axis=axes)
     return np.asarray(env).squeeze(), np.asarray(ph).squeeze()

@@ -129,3 +129,21 @@ def test_hilbert_sharded_matches_scipy(n):
     scl = np.abs(want).max()
     np.testing.assert_allclose(z, want, atol=1e-8 * scl)
     np.testing.assert_allclose(z, np.asarray(h1(x)), atol=1e-8 * scl)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_envelope_phase_mesh_matches_single():
+    """Public envelope_phase(mesh=...) == single-device demod."""
+    from pyfft_tpu.parallel import make_mesh
+    from pyfft_tpu.hilbert import envelope_phase
+    n = 64 * 64
+    t = np.linspace(0, 6 * np.pi, n, endpoint=False)
+    x = ((1 + 0.4 * np.sin(t)) * np.sin(60 * t)).astype(np.float32)
+    env1, ph1 = envelope_phase(x)
+    mesh = make_mesh(ch=1, t=8)
+    env2, ph2 = envelope_phase(x, mesh=mesh)
+    np.testing.assert_allclose(env2, env1, atol=2e-5 * np.abs(env1).max())
+    # compare phase modulo 2*pi (f32 jitter at the +/-pi branch cut)
+    dphi = np.angle(np.exp(1j * (ph2.astype(np.float64)
+                                 - ph1.astype(np.float64))))
+    np.testing.assert_allclose(dphi, 0.0, atol=1e-4)
