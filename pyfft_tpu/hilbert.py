@@ -503,12 +503,17 @@ def envelope_phase(uin, nfft=None, axes=-1, mesh=None):
         nfft = uin.shape[axes]
     if mesh is not None:
         from .parallel.fft import hilbert_sharded
-        x = uin if uin.ndim == 1 else uin.reshape(-1)
+        if axes % uin.ndim != uin.ndim - 1:
+            raise ValueError(
+                "envelope_phase(mesh=...) transforms along the LAST axis "
+                f"(got axes={axes} for ndim={uin.ndim}); move the "
+                "transform axis last")
         nfft = int(nfft)
-        if len(x) < nfft:
-            x = np.pad(x, (0, nfft - len(x)))
-        else:
-            x = x[:nfft]
+        nt = uin.shape[-1]
+        # pad/trim along the transform axis; leading axes batch through
+        # the sharded transform unchanged
+        pad = [(0, 0)] * (uin.ndim - 1) + [(0, max(0, nfft - nt))]
+        x = np.pad(uin, pad)[..., :nfft]
         zr, zi = hilbert_sharded(x, mesh)
         env = jnp.sqrt(zr * zr + zi * zi)
         ph = jnp.arctan2(zi, zr)

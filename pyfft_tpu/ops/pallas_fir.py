@@ -58,18 +58,21 @@ _VMEM_BUDGET = 14 * 1024 * 1024
 
 
 def _fit_block_rows(rows, G, m):
-    """Largest power-of-two-reduced ``rows <= rows_in`` whose grid step fits
-    the scoped-VMEM budget (``G`` channel blocks in + out, double-buffered).
+    """Largest halving-reduced ``rows <= rows_in`` whose grid step fits
+    the scoped-VMEM budget (``G`` channel blocks in + out,
+    double-buffered), always a multiple of 8 (the inline-halo window
+    height — every caller relies on this invariant).
 
-    Without this, ``block_rows=1024`` at 8 grouped channels dispatches a
-    16.8 MiB step and the Mosaic compile fails with a scoped-vmem OOM
-    (observed on TPU v5e); clamping trades blocking granularity for a
-    guaranteed compile."""
+    Without the clamp, ``block_rows=1024`` at 8 grouped channels
+    dispatches a 16.8 MiB step and the Mosaic compile fails with a
+    scoped-vmem OOM (observed on TPU v5e); clamping trades blocking
+    granularity for a guaranteed compile."""
     step_bytes = lambda r: 2 * (2 * G * r * _LANES * 4           # noqa: E731
                                 + G * max(m, 1) * _LANES * 4)
+    rows = max(8, int(rows) // 8 * 8)
     while rows > 8 and step_bytes(rows) > _VMEM_BUDGET:
-        rows //= 2
-    return max(rows, 8)
+        rows = max(8, rows // 2 // 8 * 8)
+    return rows
 
 
 @lru_cache(maxsize=16)
@@ -329,12 +332,10 @@ def fir_pallas(x, taps, block_rows=512, interpret=None, precision=None,
     if squeeze:
         x = x[None, :]
     m = -(-(K - 1) // _LANES)
-    # multiple of 8: the inline-halo BlockSpec reads 8-row windows
-    rows = int(max(8, min(block_rows, 1024) // 8 * 8))
-    # G mirrors _fir_call's channel grouping (1 when transposed)
-    rows = _fit_block_rows(rows, 1 if transposed_out else min(x.shape[0], 8),
-                           m)
-    rows = max(8, rows // 8 * 8)
+    # G mirrors _fir_call's channel grouping (1 when transposed);
+    # _fit_block_rows returns a multiple of 8 (the inline-halo window)
+    rows = _fit_block_rows(int(max(8, min(block_rows, 1024))),
+                           1 if transposed_out else min(x.shape[0], 8), m)
 
     bands = _band_blocks(tuple(taps.tolist()), kprec)
     bands_flat = tuple(b for blk in bands for b in blk)

@@ -224,27 +224,35 @@ def _fourstep_run(xr, xi, mesh, axis_name, backend, inverse):
     return yr, yi
 
 
-def _run(x, mesh, axis_name, backend, inverse):
-    backend = resolve_fft_backend(backend)
-    if backend == "pallas":
-        backend = "mxu"
+def _run_pair(xr, xi, mesh, axis_name, backend, inverse):
+    """Transform dispatch on a real (re, im) pair: four-step when
+    ``d^2 | N``, distributed Bluestein otherwise (the inverse rides the
+    conjugation identity ``ifft(z) = conj(fft(conj(z))) / n`` on the
+    Bluestein route; the four-step handles it natively)."""
     d = mesh.shape[axis_name]
-    n = x.shape[-1]
-
-    x = np.asarray(x) if not isinstance(x, jax.Array) else x
-    if np.iscomplexobj(x):
-        xr, xi = np.real(x), np.imag(x)
-    else:
-        xr, xi = x, np.zeros_like(x)
-
+    n = np.shape(xr)[-1]
     if n % (d * d):
-        # no equal-tile four-step factorization: distributed Bluestein
         if inverse:
             yr, yi = _bluestein_sharded(xr, -jnp.asarray(xi), mesh,
                                         axis_name, backend)
             return yr / n, -yi / n
         return _bluestein_sharded(xr, xi, mesh, axis_name, backend)
     return _fourstep_run(xr, xi, mesh, axis_name, backend, inverse)
+
+
+def _resolve_pair_backend(backend):
+    backend = resolve_fft_backend(backend)
+    return "mxu" if backend == "pallas" else backend
+
+
+def _run(x, mesh, axis_name, backend, inverse):
+    backend = _resolve_pair_backend(backend)
+    x = np.asarray(x) if not isinstance(x, jax.Array) else x
+    if np.iscomplexobj(x):
+        xr, xi = np.real(x), np.imag(x)
+    else:
+        xr, xi = x, np.zeros_like(x)
+    return _run_pair(xr, xi, mesh, axis_name, backend, inverse)
 
 
 def fft_sharded(x, mesh, axis_name="t", backend=None):
@@ -347,23 +355,14 @@ def hilbert_sharded(x, mesh, axis_name="t", backend=None):
     distributed inverse — everything stays a sharded real pair on device.
     Returns ``(zr, zi)`` sharded along ``axis_name``.
     """
-    backend = resolve_fft_backend(backend)
-    if backend == "pallas":
-        backend = "mxu"
+    backend = _resolve_pair_backend(backend)
     n = np.shape(x)[-1]
-    d = mesh.shape[axis_name]
     yr, yi = fft_sharded(x, mesh, axis_name, backend)
 
     from ..hilbert import analytic_mask
-    lead = np.shape(yr)[:-1]
-    sh = NamedSharding(mesh, P(*([None] * len(lead) + [axis_name])))
-    hj = jax.device_put(jnp.asarray(analytic_mask(n), yr.dtype), sh)
-    yr = yr * hj
-    yi = yi * hj
-
-    if n % (d * d):
-        # distributed Bluestein inverse via conjugation:
-        # ifft(z) = conj(fft(conj(z))) / n
-        ar, ai = _bluestein_sharded(yr, -yi, mesh, axis_name, backend)
-        return ar / n, -(ai / n)
-    return _fourstep_run(yr, yi, mesh, axis_name, backend, inverse=True)
+    # the 1-D mask shards along the frequency axis and broadcasts over
+    # any leading batch axes of yr/yi
+    hj = jax.device_put(jnp.asarray(analytic_mask(n), yr.dtype),
+                        NamedSharding(mesh, P(axis_name)))
+    return _run_pair(yr * hj, yi * hj, mesh, axis_name, backend,
+                     inverse=True)

@@ -147,3 +147,25 @@ def test_envelope_phase_mesh_matches_single():
     dphi = np.angle(np.exp(1j * (ph2.astype(np.float64)
                                  - ph1.astype(np.float64))))
     np.testing.assert_allclose(dphi, 0.0, atol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_envelope_phase_mesh_multichannel():
+    """Multi-channel input on the mesh path must batch over leading axes
+    (round-5 review finding: it silently flattened to channel 0)."""
+    from pyfft_tpu.parallel import make_mesh
+    from pyfft_tpu.hilbert import envelope_phase
+    n = 64 * 64
+    t = np.linspace(0, 6 * np.pi, n, endpoint=False)
+    x = np.stack([(1 + 0.4 * np.sin(t)) * np.sin(60 * t),
+                  (1 + 0.2 * np.sin(2 * t)) * np.sin(80 * t)]
+                 ).astype(np.float32)
+    mesh = make_mesh(ch=1, t=8)
+    env1, ph1 = envelope_phase(x)
+    env2, ph2 = envelope_phase(x, mesh=mesh)
+    assert env2.shape == env1.shape == (2, n)
+    np.testing.assert_allclose(env2, env1, atol=2e-5 * np.abs(env1).max())
+    # non-last transform axis is rejected loudly, not silently wrong
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="LAST axis"):
+        envelope_phase(x.T, axes=0, mesh=mesh)
